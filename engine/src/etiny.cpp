@@ -1,0 +1,239 @@
+// EtinyNet .etiny v1 loader + int8 evaluator.
+//
+// Same arithmetic as the JAX sim (nnue_vision_tpu/ops/engine_sim.py):
+//   stem conv: like the NNUE conv frontend, fixed stride 2
+//   pw-expand: clamp(acc/scale, 0, 6)       (ReLU6 in the int domain)
+//   depthwise 3x3: clamp(acc/scale, 0, 6)
+//   pw-project: clamp(acc/scale, ±127), no bias
+//   dense-tagged blocks: spatial dims are treated as preserved — the real
+//     output is flat-placed into a zero buffer of the input's spatial size
+//     (upstream-engine behavior kept for file interchangeability; our
+//     serializer only emits the dense tag for stride-1 blocks, where this
+//     is an identity)
+//   global average pool: truncating int mean, clamp ±127
+//   classifier: float logits acc/scale
+
+#include <cstring>
+#include <fstream>
+
+#include "../include/nv/ints.h"
+#include "../include/nv/model.h"
+#include "io_util.h"
+
+namespace nv {
+
+namespace {
+
+void read_conv_payload_e(std::istream& in, float& scale, int& out_channels,
+                         std::vector<int8_t>& w, std::vector<int32_t>& b) {
+  expect(read_u32(in, "conv tag") == 0, "conv inner tag must be 0");
+  scale = read_f32(in, "conv scale");
+  const uint32_t oc = read_u32(in), ic = read_u32(in);
+  const uint32_t kh = read_u32(in), kw = read_u32(in);
+  expect(ic == 3 && kh == 3 && kw == 3, "stem conv must be 3-channel 3x3");
+  out_channels = static_cast<int>(oc);
+  w = read_vec<int8_t>(in, size_t(oc) * 27, "stem weights");
+  expect(read_u32(in) == oc, "stem bias count mismatch");
+  b = read_vec<int32_t>(in, oc, "stem biases");
+}
+
+}  // namespace
+
+EtinyNet load_etiny(std::istream& in) {
+  EtinyNet net;
+  char magic[4];
+  read_exact(in, magic, 4, "magic");
+  expect(std::memcmp(magic, "ETNY", 4) == 0, "bad .etiny magic");
+  expect(read_u32(in, "version") == 1, "unsupported .etiny version");
+
+  const uint32_t vlen = read_u32(in, "variant len");
+  expect(vlen <= 64, "variant string too long");
+  std::vector<char> vbuf(vlen);
+  read_exact(in, vbuf.data(), vlen, "variant");
+  net.variant.assign(vbuf.begin(), vbuf.end());
+
+  net.num_classes = static_cast<int>(read_u32(in));
+  net.input_size = static_cast<int>(read_u32(in));
+  net.conv_channels = static_cast<int>(read_u32(in));
+  net.final_channels = static_cast<int>(read_u32(in));
+  char asq = 0;
+  read_exact(in, &asq, 1, "use_asq");
+  net.use_asq = asq != 0;
+  if (net.use_asq) {
+    net.asq_bits = static_cast<int>(read_u32(in));
+    net.lambda_param = read_f32(in);
+  }
+
+  const uint32_t total = read_u32(in, "layer count");
+  bool have_classifier = false;
+  for (uint32_t i = 0; i < total; ++i) {
+    const uint32_t tag = read_u32(in, "layer tag");
+    if (tag == 0) {
+      read_conv_payload_e(in, net.stem_scale, net.stem_out_channels,
+                          net.stem_w, net.stem_b);
+    } else if (tag == 1 || tag == 2) {
+      EtinyBlock blk;
+      blk.dense = (tag == 2);
+      blk.s_expand = read_f32(in);
+      blk.s_dw = read_f32(in);
+      blk.s_project = read_f32(in);
+      blk.in_c = static_cast<int>(read_u32(in));
+      blk.mid_c = static_cast<int>(read_u32(in));
+      blk.out_c = static_cast<int>(read_u32(in));
+      blk.stride = static_cast<int>(read_u32(in));
+      blk.pw_expand =
+          read_vec<int8_t>(in, size_t(blk.mid_c) * blk.in_c, "pw_expand");
+      expect(read_u32(in) == uint32_t(blk.mid_c), "pw_expand bias count");
+      blk.pw_expand_b = read_vec<int32_t>(in, blk.mid_c, "pw_expand bias");
+      blk.dw = read_vec<int8_t>(in, size_t(blk.mid_c) * 9, "dw weights");
+      blk.pw_project =
+          read_vec<int8_t>(in, size_t(blk.out_c) * blk.mid_c, "pw_project");
+      expect(read_u32(in) == uint32_t(blk.out_c), "pw_project bias count");
+      in.seekg(std::streamoff(blk.out_c) * 4, std::ios::cur);  // zero biases
+      net.blocks.push_back(std::move(blk));
+    } else if (tag == 3) {
+      net.cls_scale = read_f32(in);
+      net.cls_in = static_cast<int>(read_u32(in));
+      const int out = static_cast<int>(read_u32(in));
+      expect(out == net.num_classes, "classifier rows != num_classes");
+      net.cls_w = read_vec<int8_t>(in, size_t(out) * net.cls_in, "cls w");
+      expect(read_u32(in) == uint32_t(out), "cls bias count");
+      net.cls_b = read_vec<int32_t>(in, out, "cls b");
+      have_classifier = true;
+    } else {
+      fail("unknown .etiny layer tag " + std::to_string(tag));
+    }
+  }
+  expect(net.stem_out_channels > 0, "missing stem conv");
+  expect(have_classifier, "missing classifier");
+  return net;
+}
+
+EtinyNet load_etiny_file(const std::string& path) {
+  std::ifstream f(path, std::ios::binary);
+  expect(f.is_open(), "cannot open " + path);
+  return load_etiny(f);
+}
+
+std::vector<float> etiny_evaluate(const EtinyNet& net, const float* image,
+                                  int h, int w) {
+  // Stem conv (stride 2, padding 1) straight from the float image.
+  const int C0 = net.stem_out_channels;
+  int oh = (h + 2 - 3) / 2 + 1, ow = (w + 2 - 3) / 2 + 1;
+  std::vector<int8_t> cur(size_t(oh) * ow * C0);
+  {
+    const float scale = net.stem_scale;
+    const int32_t iscale = static_cast<int32_t>(scale);
+    for (int y = 0; y < oh; ++y) {
+      for (int x = 0; x < ow; ++x) {
+        const int by = y * 2 - 1, bx = x * 2 - 1;
+        for (int oc = 0; oc < C0; ++oc) {
+          int32_t acc = net.stem_b[oc];
+          const int8_t* wrow = &net.stem_w[size_t(oc) * 27];
+          for (int ky = 0; ky < 3; ++ky) {
+            const int iy = by + ky;
+            if (iy < 0 || iy >= h) continue;
+            for (int kx = 0; kx < 3; ++kx) {
+              const int ix = bx + kx;
+              if (ix < 0 || ix >= w) continue;
+              const float* px = image + (size_t(iy) * w + ix) * 3;
+              const int8_t* wk = wrow + (ky * 3 + kx) * 3;
+              acc += quant_input(px[0], scale) * wk[0];
+              acc += quant_input(px[1], scale) * wk[1];
+              acc += quant_input(px[2], scale) * wk[2];
+            }
+          }
+          cur[(size_t(y) * ow + x) * C0 + oc] = sat_i8(tdiv(acc, iscale));
+        }
+      }
+    }
+  }
+  int ch = oh, cw = ow, cc = C0;
+
+  std::vector<int8_t> expand, dwout, next;
+  for (const auto& blk : net.blocks) {
+    // pw-expand + ReLU6 over (ch, cw)
+    expand.assign(size_t(ch) * cw * blk.mid_c, 0);
+    {
+      const int32_t s = static_cast<int32_t>(blk.s_expand);
+      for (int p = 0; p < ch * cw; ++p) {
+        const int8_t* px = &cur[size_t(p) * cc];
+        int8_t* out = &expand[size_t(p) * blk.mid_c];
+        for (int m = 0; m < blk.mid_c; ++m) {
+          int32_t acc = blk.pw_expand_b[m];
+          const int8_t* row = &blk.pw_expand[size_t(m) * blk.in_c];
+          for (int i = 0; i < blk.in_c; ++i) acc += int32_t(px[i]) * row[i];
+          out[m] = static_cast<int8_t>(clamp_i32(tdiv(acc, s), 0, 6));
+        }
+      }
+    }
+    // depthwise 3x3 + ReLU6
+    const int dh = (ch - 3 + 2) / blk.stride + 1;
+    const int dw_ = (cw - 3 + 2) / blk.stride + 1;
+    dwout.assign(size_t(dh) * dw_ * blk.mid_c, 0);
+    {
+      const int32_t s = static_cast<int32_t>(blk.s_dw);
+      for (int y = 0; y < dh; ++y) {
+        for (int x = 0; x < dw_; ++x) {
+          int8_t* out = &dwout[(size_t(y) * dw_ + x) * blk.mid_c];
+          for (int m = 0; m < blk.mid_c; ++m) {
+            int32_t acc = 0;
+            const int8_t* k = &blk.dw[size_t(m) * 9];
+            for (int ky = 0; ky < 3; ++ky) {
+              const int iy = y * blk.stride + ky - 1;
+              if (iy < 0 || iy >= ch) continue;
+              for (int kx = 0; kx < 3; ++kx) {
+                const int ix = x * blk.stride + kx - 1;
+                if (ix < 0 || ix >= cw) continue;
+                acc += int32_t(expand[(size_t(iy) * cw + ix) * blk.mid_c + m]) *
+                       k[ky * 3 + kx];
+              }
+            }
+            out[m] = static_cast<int8_t>(clamp_i32(tdiv(acc, s), 0, 6));
+          }
+        }
+      }
+    }
+    // pw-project (no bias, no activation)
+    const bool preserve = blk.dense;  // dense tag: dims treated as unchanged
+    const int nh = preserve ? ch : dh, nw = preserve ? cw : dw_;
+    next.assign(size_t(nh) * nw * blk.out_c, 0);
+    {
+      const int32_t s = static_cast<int32_t>(blk.s_project);
+      for (int p = 0; p < dh * dw_; ++p) {
+        const int8_t* px = &dwout[size_t(p) * blk.mid_c];
+        int8_t* out = &next[size_t(p) * blk.out_c];  // flat placement
+        for (int o = 0; o < blk.out_c; ++o) {
+          int32_t acc = 0;
+          const int8_t* row = &blk.pw_project[size_t(o) * blk.mid_c];
+          for (int i = 0; i < blk.mid_c; ++i) acc += int32_t(px[i]) * row[i];
+          out[o] = sat_i8(tdiv(acc, s));
+        }
+      }
+    }
+    cur.swap(next);
+    ch = nh;
+    cw = nw;
+    cc = blk.out_c;
+  }
+
+  // global average pool (truncating int mean) + classifier
+  std::vector<int8_t> pooled(cc);
+  const int hw = ch * cw;
+  for (int c = 0; c < cc; ++c) {
+    int32_t sum = 0;
+    for (int p = 0; p < hw; ++p) sum += cur[size_t(p) * cc + c];
+    pooled[c] = sat_i8(tdiv(sum, hw));
+  }
+  std::vector<float> logits(net.num_classes);
+  for (int c = 0; c < net.num_classes; ++c) {
+    int32_t acc = net.cls_b[c];
+    const int8_t* row = &net.cls_w[size_t(c) * net.cls_in];
+    for (int i = 0; i < net.cls_in && i < cc; ++i)
+      acc += int32_t(pooled[i]) * row[i];
+    logits[c] = static_cast<float>(acc) / net.cls_scale;
+  }
+  return logits;
+}
+
+}  // namespace nv

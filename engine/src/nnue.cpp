@@ -1,0 +1,284 @@
+// NNUE .nnue v2 loader + int8 evaluator.
+//
+// Arithmetic contract (identical to the JAX sim; see
+// nnue_vision_tpu/ops/engine_sim.py for the full derivation):
+//   conv: acc = bias + sum(int32(x*scale) * w8); out = clamp(acc/scale, ±127)
+//   feature transformer: int16 accumulation (wraparound), clipped ReLU 0..127
+//   pairwise: (a*b)/128 truncating, clamp 0..127; concat with clamp(a)
+//   fc1: clamp(acc/scale, 0..127); fc2: relu(clamp(acc/scale, ±127))
+//   output: float logits acc/out_scale; density = active/total (f32 divide)
+
+#include <cmath>
+#include <cstring>
+#include <fstream>
+
+#include "../include/nv/ints.h"
+#include "../include/nv/model.h"
+#include "io_util.h"
+
+namespace nv {
+
+namespace {
+
+// Reads the conv payload shared by .nnue and .etiny (inner tag + scale +
+// dims + int8 weights in (out, kh, kw, in) order + int32 biases).
+void read_conv_payload(std::istream& in, float& scale, int& out_channels,
+                       std::vector<int8_t>& w, std::vector<int32_t>& b) {
+  expect(read_u32(in, "conv tag") == 0, "conv inner tag must be 0");
+  scale = read_f32(in, "conv scale");
+  const uint32_t oc = read_u32(in), ic = read_u32(in);
+  const uint32_t kh = read_u32(in), kw = read_u32(in);
+  expect(ic == 3 && kh == 3 && kw == 3, "conv must be 3-channel 3x3");
+  expect(oc >= 1 && oc <= 4096, "conv out_channels out of range");
+  out_channels = static_cast<int>(oc);
+  w = read_vec<int8_t>(in, static_cast<size_t>(oc) * 27, "conv weights");
+  expect(read_u32(in, "conv bias count") == oc, "conv bias count mismatch");
+  b = read_vec<int32_t>(in, oc, "conv biases");
+}
+
+void read_linear(std::istream& in, size_t rows, size_t cols,
+                 std::vector<int8_t>& w, std::vector<int32_t>& b,
+                 const char* what) {
+  w = read_vec<int8_t>(in, rows * cols, what);
+  expect(read_u32(in) == rows, std::string(what) + " bias count mismatch");
+  b = read_vec<int32_t>(in, rows, what);
+}
+
+}  // namespace
+
+int nnue_conv_stride(int image_h, int grid) {
+  if (grid <= 1) return image_h > 1 ? image_h : 1;
+  const int num = image_h - 1, den = grid - 1;
+  const int s = (num + den - 1) / den;
+  return s < 1 ? 1 : s;
+}
+
+NnueNet load_nnue(std::istream& in) {
+  NnueNet net;
+  char magic[4];
+  read_exact(in, magic, 4, "magic");
+  expect(std::memcmp(magic, "NNUE", 4) == 0, "bad .nnue magic");
+  expect(read_u32(in, "version") == 2, "unsupported .nnue version");
+
+  net.num_features = static_cast<int>(read_u32(in));
+  net.l1 = static_cast<int>(read_u32(in));
+  net.l2 = static_cast<int>(read_u32(in));
+  net.l3 = static_cast<int>(read_u32(in));
+  const uint32_t buckets = read_u32(in);
+  expect(buckets == 1, "only single-bucket layer stacks are supported");
+  net.nnue2score = read_f32(in);
+  net.quantized_one = read_f32(in);
+  net.visual_threshold = read_f32(in);
+
+  read_conv_payload(in, net.conv_scale, net.conv_out_channels, net.conv_w,
+                    net.conv_b);
+  expect(net.conv_out_channels > 0 &&
+             net.num_features % net.conv_out_channels == 0,
+         "features not divisible by conv channels");
+  const int cells = net.num_features / net.conv_out_channels;
+  net.grid = static_cast<int>(std::lround(std::sqrt(double(cells))));
+  expect(net.grid * net.grid == cells, "feature grid is not square");
+
+  net.ft_scale = read_f32(in);
+  expect(static_cast<int>(read_u32(in)) == net.num_features,
+         "FT feature count mismatch");
+  expect(static_cast<int>(read_u32(in)) == net.l1, "FT l1 mismatch");
+  net.ft_w = read_vec<int16_t>(
+      in, static_cast<size_t>(net.num_features) * net.l1, "FT weights");
+  expect(static_cast<int>(read_u32(in)) == net.l1, "FT bias count mismatch");
+  net.ft_b = read_vec<int32_t>(in, net.l1, "FT biases");
+
+  // Layer-stack container: scales, padded L1, 127*I factorization block
+  // (ignored by the multiclass path), doubled L2, output.
+  net.fc1_scale = read_f32(in);
+  net.fc2_scale = read_f32(in);
+  net.out_scale = read_f32(in);
+  (void)read_f32(in);  // l1_fact scale, unused
+
+  const int l1_out = static_cast<int>(read_u32(in));
+  const int l1_in = static_cast<int>(read_u32(in));
+  expect(l1_out == net.l2 + 1 && l1_in == net.l1, "layer-stack L1 dims");
+  {
+    std::vector<int8_t> w;
+    std::vector<int32_t> b;
+    read_linear(in, l1_out, l1_in, w, b, "L1");
+    net.fc1_w.assign(w.begin(), w.begin() + size_t(net.l2) * net.l1);
+    net.fc1_b.assign(b.begin(), b.begin() + net.l2);
+  }
+  {
+    const uint32_t fo = read_u32(in), fi = read_u32(in);
+    expect(static_cast<int>(fi) == net.l1 && static_cast<int>(fo) == net.l1,
+           "factorization block dims");
+    in.seekg(static_cast<std::streamoff>(fo) * fi, std::ios::cur);
+    expect(read_u32(in) == fo, "factorization bias count");
+    in.seekg(static_cast<std::streamoff>(fo) * 4, std::ios::cur);
+    expect(in.good(), "truncated factorization block");
+  }
+  {
+    const int l2_out = static_cast<int>(read_u32(in));
+    const int l2_in = static_cast<int>(read_u32(in));
+    expect(l2_out == net.l3 && l2_in == 2 * net.l2, "layer-stack L2 dims");
+    std::vector<int8_t> w;
+    read_linear(in, l2_out, l2_in, w, net.fc2_b, "L2");
+    // keep only the first l2 columns (second half is format padding)
+    net.fc2_w.resize(size_t(net.l3) * net.l2);
+    for (int r = 0; r < net.l3; ++r) {
+      std::memcpy(&net.fc2_w[size_t(r) * net.l2], &w[size_t(r) * l2_in],
+                  net.l2);
+    }
+  }
+  {
+    const int oo = static_cast<int>(read_u32(in));
+    const int oi = static_cast<int>(read_u32(in));
+    expect(oi == net.l3 && oo >= 1, "output layer dims");
+    net.num_classes = oo;
+    read_linear(in, oo, oi, net.out_w, net.out_b, "output");
+  }
+  return net;
+}
+
+NnueNet load_nnue_file(const std::string& path) {
+  std::ifstream f(path, std::ios::binary);
+  expect(f.is_open(), "cannot open " + path);
+  return load_nnue(f);
+}
+
+namespace {
+
+// int8 conv frontend into a zero-filled grid*grid*C buffer (flat placement,
+// matching the upstream engine's buffer reinterpretation).
+void conv_frontend(const NnueNet& net, const float* image, int h, int w,
+                   std::vector<int8_t>& grid_buf) {
+  const int stride = nnue_conv_stride(h, net.grid);
+  const int oh = (h + 2 - 3) / stride + 1;
+  const int ow = (w + 2 - 3) / stride + 1;
+  const int C = net.conv_out_channels;
+  grid_buf.assign(size_t(net.grid) * net.grid * C, 0);
+
+  const float scale = net.conv_scale;
+  const int32_t iscale = static_cast<int32_t>(scale);
+  for (int y = 0; y < oh; ++y) {
+    for (int x = 0; x < ow; ++x) {
+      const int by = y * stride - 1, bx = x * stride - 1;
+      for (int oc = 0; oc < C; ++oc) {
+        int32_t acc = net.conv_b[oc];
+        const int8_t* wrow = &net.conv_w[size_t(oc) * 27];
+        for (int ky = 0; ky < 3; ++ky) {
+          const int iy = by + ky;
+          if (iy < 0 || iy >= h) continue;
+          for (int kx = 0; kx < 3; ++kx) {
+            const int ix = bx + kx;
+            if (ix < 0 || ix >= w) continue;
+            const float* px = image + (size_t(iy) * w + ix) * 3;
+            const int8_t* wk = wrow + (ky * 3 + kx) * 3;
+            acc += quant_input(px[0], scale) * wk[0];
+            acc += quant_input(px[1], scale) * wk[1];
+            acc += quant_input(px[2], scale) * wk[2];
+          }
+        }
+        grid_buf[(size_t(y) * ow + x) * C + oc] = sat_i8(tdiv(acc, iscale));
+      }
+    }
+  }
+}
+
+}  // namespace
+
+void nnue_extract_features(const NnueNet& net, const float* image, int h,
+                           int w, std::vector<int>& features) {
+  std::vector<int8_t> grid_buf;
+  conv_frontend(net, image, h, w, grid_buf);
+  features.clear();
+  const float t = net.visual_threshold;
+  for (size_t i = 0; i < grid_buf.size(); ++i) {
+    if (static_cast<float>(grid_buf[i]) > t) features.push_back(int(i));
+  }
+}
+
+void nnue_refresh_accumulator(const NnueNet& net,
+                              const std::vector<int>& features,
+                              std::vector<int16_t>& acc) {
+  acc.resize(net.l1);
+  for (int i = 0; i < net.l1; ++i) acc[i] = static_cast<int16_t>(net.ft_b[i]);
+  for (int f : features) {
+    if (f < 0 || f >= net.num_features) continue;
+    const int16_t* row = &net.ft_w[size_t(f) * net.l1];
+    for (int i = 0; i < net.l1; ++i) acc[i] += row[i];
+  }
+}
+
+void nnue_update_accumulator(const NnueNet& net, const std::vector<int>& added,
+                             const std::vector<int>& removed,
+                             std::vector<int16_t>& acc) {
+  for (int f : removed) {
+    if (f < 0 || f >= net.num_features) continue;
+    const int16_t* row = &net.ft_w[size_t(f) * net.l1];
+    for (int i = 0; i < net.l1; ++i) acc[i] -= row[i];
+  }
+  for (int f : added) {
+    if (f < 0 || f >= net.num_features) continue;
+    const int16_t* row = &net.ft_w[size_t(f) * net.l1];
+    for (int i = 0; i < net.l1; ++i) acc[i] += row[i];
+  }
+}
+
+std::vector<float> nnue_head(const NnueNet& net,
+                             const std::vector<int16_t>& acc) {
+  const int l1 = net.l1, l2 = net.l2, l3 = net.l3;
+  const int half = l1 / 2;
+  const int16_t qone = static_cast<int16_t>(net.quantized_one);
+
+  // clipped ReLU + pairwise interaction
+  std::vector<int16_t> pairwise(l1);
+  for (int i = 0; i < half; ++i) {
+    int32_t a = clamp_i32(acc[i], 0, qone);
+    int32_t b = clamp_i32(acc[i + half], 0, qone);
+    pairwise[i] = static_cast<int16_t>(clamp_i32((a * b) / 128, 0, 127));
+    pairwise[i + half] = static_cast<int16_t>(clamp_i32(a, 0, 127));
+  }
+
+  std::vector<int32_t> h1(l2);
+  const int32_t s1 = static_cast<int32_t>(net.fc1_scale);
+  for (int r = 0; r < l2; ++r) {
+    int32_t a = net.fc1_b[r];
+    const int8_t* row = &net.fc1_w[size_t(r) * l1];
+    for (int i = 0; i < l1; ++i) a += int32_t(pairwise[i]) * row[i];
+    h1[r] = clamp_i32(tdiv(a, s1), 0, 127);
+  }
+
+  std::vector<int32_t> h2(l3);
+  const int32_t s2 = static_cast<int32_t>(net.fc2_scale);
+  for (int r = 0; r < l3; ++r) {
+    int32_t a = net.fc2_b[r];
+    const int8_t* row = &net.fc2_w[size_t(r) * l2];
+    for (int i = 0; i < l2; ++i) a += h1[i] * row[i];
+    h2[r] = clamp_i32(clamp_i32(tdiv(a, s2), -127, 127), 0, 127);
+  }
+
+  std::vector<float> logits(net.num_classes);
+  for (int c = 0; c < net.num_classes; ++c) {
+    int32_t a = net.out_b[c];
+    const int8_t* row = &net.out_w[size_t(c) * l3];
+    for (int i = 0; i < l3; ++i) a += h2[i] * row[i];
+    logits[c] = static_cast<float>(a) / net.out_scale;
+  }
+  return logits;
+}
+
+NnueResult nnue_evaluate(const NnueNet& net, const float* image, int h,
+                         int w) {
+  NnueResult res;
+  std::vector<int> features;
+  nnue_extract_features(net, image, h, w, features);
+  std::vector<int16_t> acc;
+  nnue_refresh_accumulator(net, features, acc);
+  res.logits = nnue_head(net, acc);
+  res.active_count = static_cast<int>(features.size());
+  res.density = net.num_features > 0
+                    ? static_cast<float>(res.active_count) /
+                          static_cast<float>(net.num_features)
+                    : 0.f;
+  return res;
+}
+
+}  // namespace nv

@@ -1,0 +1,310 @@
+"""NNUE for vision — TPU-native training model.
+
+Capability-parity with the reference model (nnue.py:447-738) but designed
+for XLA, not translated from torch:
+
+* The reference converts the binarized conv output to variable-length sparse
+  (indices, values) lists with per-sample Python loops and gathers
+  (nnue.py:590-635, :686-710) — a host-sync disaster and impossible under
+  jit. Here the binary mask IS the feature vector and the feature
+  transformer is one dense masked matmul `mask @ W + b`, mathematically
+  identical to the reference's gather-sum (values are exactly {0,1}) and an
+  MXU-native op.
+* The straight-through estimator reproduces the reference gradient contract
+  (nnue.py:15-54) via `jax.custom_vjp`: identity gradient to the input,
+  sharpness-10 sigmoid surrogate summed over batch+space for the per-channel
+  threshold.
+* Train-time geometry follows the ENGINE's stride rule
+  (ceil((H-1)/(grid-1)), nnue_engine.cpp:667-675) and the engine's
+  flat-placement of conv output into the grid buffer, so the features the
+  model trains on are the features the int8 engine computes. (The reference
+  trains on a different grid than its engine evaluates — train/infer skew we
+  deliberately fix; see SURVEY.md §7 hard-part 5.)
+* Optional quantization-aware clamps (`qat=True`) keep activations in the
+  engine's [0, 127]/127 dynamic range during training so int8 serialization
+  loses less accuracy.
+
+Pure functions over a params pytree — no module framework. `nnue_init`
+builds params; `nnue_apply` is jit/pjit/vmap-compatible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nnue_vision_tpu.formats import (
+    QConv,
+    QFeatureTransformer,
+    QLinear,
+    QuantizedNNUE,
+)
+from nnue_vision_tpu.ops.engine_sim import engine_conv_stride
+from nnue_vision_tpu.quantize import (
+    QUANT_SCALE,
+    clip_unit,
+    quantize_bias_i32,
+    quantize_weight_i8,
+)
+
+DEFAULT_L1 = 1024
+DEFAULT_L2 = 128
+DEFAULT_L3 = 32
+
+
+@dataclasses.dataclass(frozen=True)
+class GridFeatureSet:
+    """Grid-based feature set (reference nnue.py:81-91)."""
+
+    grid_size: int = 10
+    num_features_per_square: int = 8
+
+    @property
+    def num_features(self) -> int:
+        return self.grid_size * self.grid_size * self.num_features_per_square
+
+
+@dataclasses.dataclass(frozen=True)
+class NNUEConfig:
+    feature_set: GridFeatureSet = GridFeatureSet()
+    l1_size: int = DEFAULT_L1
+    l2_size: int = DEFAULT_L2
+    l3_size: int = DEFAULT_L3
+    num_classes: int = 10
+    input_size: int = 32
+    # Keep activations in the engine's quantized dynamic range during
+    # training (clipped ReLU to [0,1] in float ≙ [0,127] int).
+    qat: bool = False
+    # Compute dtype for the conv/matmul stack; params stay float32.
+    dtype: str = "float32"
+
+    @property
+    def conv_stride(self) -> int:
+        return engine_conv_stride(self.input_size, self.feature_set.grid_size)
+
+    @property
+    def conv_out_hw(self) -> int:
+        return (self.input_size + 2 - 3) // self.conv_stride + 1
+
+
+# ---------------------------------------------------------------------------
+# straight-through binary activation
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def binary_activation_ste(x: jnp.ndarray, threshold: jnp.ndarray) -> jnp.ndarray:
+    """Hard threshold forward, straight-through backward (nnue.py:15-59).
+
+    x: (B, H, W, C); threshold: (C,) broadcast per channel.
+    Forward: (x > t) as float. Backward: dL/dx = g (straight through);
+    dL/dt = -sum_{B,H,W} g * k*sigmoid'(k*(x-t)) with k=10.
+    """
+    return (x > threshold).astype(x.dtype)
+
+
+def _ste_fwd(x, threshold):
+    return binary_activation_ste(x, threshold), (x, threshold)
+
+
+def _ste_bwd(res, g):
+    x, threshold = res
+    k = 10.0
+    sig = jax.nn.sigmoid(k * (x - threshold))
+    grad_t = -(g * k * sig * (1.0 - sig)).sum(axis=(0, 1, 2))
+    return g, grad_t.astype(threshold.dtype)
+
+
+binary_activation_ste.defvjp(_ste_fwd, _ste_bwd)
+
+
+# ---------------------------------------------------------------------------
+# init / apply
+# ---------------------------------------------------------------------------
+
+
+def _uniform(rng, shape, bound, dtype=jnp.float32):
+    return jax.random.uniform(rng, shape, dtype, minval=-bound, maxval=bound)
+
+
+def nnue_init(rng: jax.Array, cfg: NNUEConfig) -> Dict:
+    """Initialize an NNUE params pytree.
+
+    Init distributions match the reference model's: conv/linear use
+    fan-in uniform (torch defaults), feature transformer N(0, 0.1²)
+    (nnue.py:683), bias zeros for FT, threshold 0.1 per channel
+    (nnue.py:507), nnue2score 600 (nnue.py:503).
+    """
+    fs = cfg.feature_set
+    ch = fs.num_features_per_square
+    keys = jax.random.split(rng, 10)
+    k_conv = 1.0 / math.sqrt(3 * 3 * 3)
+    k1 = 1.0 / math.sqrt(cfg.l1_size)
+    k2 = 1.0 / math.sqrt(cfg.l2_size)
+    k3 = 1.0 / math.sqrt(cfg.l3_size)
+    return {
+        "conv_w": _uniform(keys[0], (ch, 3, 3, 3), k_conv),  # OIHW
+        "visual_threshold": jnp.full((ch,), 0.1, jnp.float32),
+        "ft_w": jax.random.normal(keys[1], (fs.num_features, cfg.l1_size)) * 0.1,
+        "ft_b": jnp.zeros((cfg.l1_size,), jnp.float32),
+        "fc1_w": _uniform(keys[2], (cfg.l2_size, cfg.l1_size), k1),
+        "fc1_b": _uniform(keys[3], (cfg.l2_size,), k1),
+        "fc2_w": _uniform(keys[4], (cfg.l3_size, cfg.l2_size), k2),
+        "fc2_b": _uniform(keys[5], (cfg.l3_size,), k2),
+        "out_w": _uniform(keys[6], (cfg.num_classes, cfg.l3_size), k3),
+        "out_b": _uniform(keys[7], (cfg.num_classes,), k3),
+        "nnue2score": jnp.float32(600.0),
+    }
+
+
+def nnue_apply(
+    params: Dict,
+    images: jnp.ndarray,
+    cfg: NNUEConfig,
+    return_aux: bool = False,
+):
+    """Forward pass: images (B, H, W, 3) float32 NHWC → logits (B, classes).
+
+    With `return_aux=True` also returns {"density": (B,), "mask": (B, F)}.
+    """
+    fs = cfg.feature_set
+    dtype = jnp.dtype(cfg.dtype)
+    x = images.astype(dtype)
+
+    # Conv frontend, engine-geometry (stride from the engine rule).
+    rhs = jnp.transpose(params["conv_w"], (2, 3, 1, 0)).astype(dtype)  # HWIO
+    conv = jax.lax.conv_general_dilated(
+        x,
+        rhs,
+        window_strides=(cfg.conv_stride, cfg.conv_stride),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+    # Binary STE with per-channel learnable threshold.
+    mask = binary_activation_ste(conv, params["visual_threshold"].astype(dtype))
+
+    # Engine flat placement: (B, oh, ow, C) → (B, F) with zero tail.
+    b = mask.shape[0]
+    flat = mask.reshape(b, -1)
+    pad = fs.num_features - flat.shape[1]
+    features = jnp.pad(flat, ((0, 0), (0, pad)))
+
+    # Feature transformer as a dense masked matmul (MXU).
+    ft = features @ params["ft_w"].astype(dtype) + params["ft_b"].astype(dtype)
+
+    if cfg.qat:
+        # Engine applies a clipped ReLU to [0, 127] on the int16 accumulator
+        # (nnue_engine.cpp:726-729); in float that is [0, ~1] after /127.
+        # Training with the same clamp removes train/int8 range skew.
+        ft = jnp.clip(ft, 0.0, 1.0)
+
+    # Pairwise feature interaction (nnue.py:660-666).
+    half = cfg.l1_size // 2
+    a, bb = ft[:, :half], ft[:, half:]
+    l0 = jnp.concatenate([a * bb, a], axis=1)
+
+    h1 = jax.nn.relu(l0 @ params["fc1_w"].T.astype(dtype) + params["fc1_b"].astype(dtype))
+    h2 = jax.nn.relu(h1 @ params["fc2_w"].T.astype(dtype) + params["fc2_b"].astype(dtype))
+    logits = h2 @ params["out_w"].T.astype(dtype) + params["out_b"].astype(dtype)
+    logits = logits.astype(jnp.float32)
+
+    if return_aux:
+        density = flat.sum(axis=1).astype(jnp.float32) / fs.num_features
+        return logits, {"density": density, "mask": features}
+    return logits
+
+
+def nnue_clip_weights(params: Dict) -> Dict:
+    """Clamp FT + classifier weights to [-1, 1] (nnue.py:528-539).
+
+    The reference applies this in-place pre-serialization AND implicitly
+    relies on it during long training runs; we expose it as a pure update
+    that the train loop applies after each optimizer step.
+    """
+    clipped = dict(params)
+    for name in ("ft_w", "fc1_w", "fc2_w", "out_w"):
+        clipped[name] = jnp.clip(params[name], -1.0, 1.0)
+    return clipped
+
+
+# ---------------------------------------------------------------------------
+# quantization → QuantizedNNUE
+# ---------------------------------------------------------------------------
+
+
+def nnue_quantize(params: Dict, cfg: NNUEConfig) -> QuantizedNNUE:
+    """float params → engine-domain QuantizedNNUE (serialize-ready).
+
+    Scheme identical to the reference (serialize.py:210-239 + nnue.py:541-588):
+    scale 64 everywhere, weights clipped to [-1,1] then round·clamp ±127,
+    FT weights stored int16, visual_threshold serialized as the channel mean.
+    """
+    p = jax.device_get(params)
+    fs = cfg.feature_set
+    return QuantizedNNUE(
+        grid_size=fs.grid_size,
+        num_features_per_square=fs.num_features_per_square,
+        l1=cfg.l1_size,
+        l2=cfg.l2_size,
+        l3=cfg.l3_size,
+        nnue2score=float(p["nnue2score"]),
+        visual_threshold=float(np.mean(p["visual_threshold"])),
+        conv=QConv(
+            weight=quantize_weight_i8(p["conv_w"]),
+            bias=np.zeros(fs.num_features_per_square, np.int32),  # conv has no bias
+        ),
+        ft=QFeatureTransformer(
+            weight=quantize_weight_i8(clip_unit(p["ft_w"])).astype(np.int16),
+            bias=quantize_bias_i32(p["ft_b"]),
+        ),
+        fc1=QLinear(
+            weight=quantize_weight_i8(clip_unit(p["fc1_w"])),
+            bias=quantize_bias_i32(p["fc1_b"]),
+        ),
+        fc2=QLinear(
+            weight=quantize_weight_i8(clip_unit(p["fc2_w"])),
+            bias=quantize_bias_i32(p["fc2_b"]),
+        ),
+        out=QLinear(
+            weight=quantize_weight_i8(clip_unit(p["out_w"])),
+            bias=quantize_bias_i32(p["out_b"]),
+        ),
+    ).validate()
+
+
+def nnue_from_quantized(q: QuantizedNNUE) -> Tuple[Dict, NNUEConfig]:
+    """Dequantize a QuantizedNNUE back into float training params."""
+    cfg = NNUEConfig(
+        feature_set=GridFeatureSet(q.grid_size, q.num_features_per_square),
+        l1_size=q.l1,
+        l2_size=q.l2,
+        l3_size=q.l3,
+        num_classes=q.num_classes,
+    )
+    s = QUANT_SCALE
+    params = {
+        "conv_w": jnp.asarray(q.conv.weight, jnp.float32) / s,
+        "visual_threshold": jnp.full(
+            (q.num_features_per_square,), q.visual_threshold, jnp.float32
+        ),
+        "ft_w": jnp.asarray(q.ft.weight, jnp.float32) / s,
+        "ft_b": jnp.asarray(q.ft.bias, jnp.float32) / s,
+        "fc1_w": jnp.asarray(q.fc1.weight, jnp.float32) / s,
+        "fc1_b": jnp.asarray(q.fc1.bias, jnp.float32) / s,
+        "fc2_w": jnp.asarray(q.fc2.weight, jnp.float32) / s,
+        "fc2_b": jnp.asarray(q.fc2.bias, jnp.float32) / s,
+        "out_w": jnp.asarray(q.out.weight, jnp.float32) / s,
+        "out_b": jnp.asarray(q.out.bias, jnp.float32) / s,
+        "nnue2score": jnp.float32(q.nnue2score),
+    }
+    return params, cfg
+
+
+def count_parameters(params: Dict) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,390 @@
+"""Bit-exact JAX simulation of the int8 C++ inference engine.
+
+Given a quantized model (the arrays a `.nnue`/`.etiny` file carries) and a
+float image, these functions produce logits identical — bit for bit — to the
+C++ engine binaries (`nnue_inference` / `etinynet_inference`). They are pure,
+jittable, and batch over images with `vmap`-style leading dims, so the same
+code is both our parity test harness and the production TPU int8 inference
+path (the reference runs one subprocess per image; here a whole batch is one
+device launch).
+
+Integer-arithmetic contract reproduced (reference files cited per function):
+
+* input quantization `int32(x * 64.0f)` — float32 multiply then C truncation
+  toward zero (nnue_engine.cpp:68,116).
+* conv accumulate in int32, output `clamp(acc / 64, ±127)` with C truncating
+  division (nnue_engine.cpp:92).
+* the engine recomputes the conv stride at runtime as
+  `ceil((H-1)/(grid-1))` — NOT the Python-side `(H-1)//(grid-1)`
+  (nnue_engine.cpp:667-675). We implement the engine rule.
+* conv output is written flat (out_h*out_w*C values) into a zero-filled
+  grid²·C buffer and the feature grid re-reads it with grid-sized rows
+  (nnue_engine.cpp:679-683, nnue_engine.h:236-253). When out_h < grid this
+  scrambles positions — a fixed, bijective index map we reproduce exactly.
+* feature-transformer accumulation is int16 with wraparound
+  (simd_scalar.cpp:78-95); equivalent to an int32 sum reduced mod 2^16.
+* pairwise interaction `(a*b)/128` truncating, clamp [0,127]
+  (nnue_engine.cpp:493-499).
+* dense layers divide the int32 accumulator by the scale truncating toward
+  zero. The engine mixes a float-division variant (simd_scalar.cpp:132-134)
+  and an int-division variant (nnue_engine.cpp:520); both equal truncating
+  integer division while |acc| < 2^24, which holds for every architecture the
+  format admits (l1·127·127 < 2^24 for l1 ≤ 1024 and biases |b·64| < 260k).
+
+Matmuls run on the MXU: int8 inputs with `preferred_element_type=int32`
+where products stay int8-ranged; exact integer-valued float32 where an
+operand exceeds int8 (conv inputs). All divisions/clamps are VPU elementwise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nnue_vision_tpu.formats import QuantizedEtinyNet, QuantizedNNUE
+
+
+@dataclasses.dataclass(frozen=True)
+class NNUESimCfg:
+    """Static (hashable) NNUE architecture facts for jit specialization."""
+
+    grid_size: int
+    channels: int
+    l1: int
+    l2: int
+    l3: int
+    num_classes: int
+    conv_scale: int
+    fc1_scale: int
+    fc2_scale: int
+    out_scale: float
+    quantized_one: int
+
+
+@dataclasses.dataclass(frozen=True)
+class EtinyBlockCfg:
+    stride: int
+    s_expand: int
+    s_dw: int
+    s_project: int
+    is_dense: bool
+
+
+@dataclasses.dataclass(frozen=True)
+class EtinySimCfg:
+    stem_scale: int
+    cls_scale: float
+    num_classes: int
+    blocks: Tuple[EtinyBlockCfg, ...]
+
+
+def _tdiv(a: jnp.ndarray, b) -> jnp.ndarray:
+    """C-style truncating integer division (toward zero), b > 0."""
+    q = jnp.abs(a) // b
+    return jnp.where(a < 0, -q, q)
+
+
+def _wrap_i16(a: jnp.ndarray) -> jnp.ndarray:
+    """Reduce int32 values mod 2^16 into [-32768, 32767] (int16 wraparound)."""
+    return ((a & 0xFFFF) ^ 0x8000) - 0x8000
+
+
+def engine_conv_stride(image_h: int, grid_size: int) -> int:
+    """The engine's runtime stride rule: ceil((H-1)/(grid-1)).
+
+    (nnue_engine.cpp:667-675.) This differs from the reference Python model's
+    `(H-1)//(grid-1)` — a reference train/infer mismatch we do NOT replicate
+    on the training side; both sides here use this engine rule.
+    """
+    if grid_size <= 0:
+        raise ValueError("grid_size must be positive")
+    if grid_size == 1:
+        return max(1, image_h)
+    return max(1, -(-(image_h - 1) // (grid_size - 1)))
+
+
+def _quantize_input(img: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """`static_cast<int32_t>(x * scale)`: f32 multiply, truncate toward zero."""
+    return jnp.trunc(img.astype(jnp.float32) * jnp.float32(scale)).astype(jnp.int32)
+
+
+def _int_conv3x3(
+    qin: jnp.ndarray, weight_oihw: jnp.ndarray, bias: jnp.ndarray, stride: int
+) -> jnp.ndarray:
+    """Exact integer 3x3 conv, padding=1, NHWC, int32 accumulators.
+
+    Performed in float32 (integer-valued, exact below 2^24 — conv sums are
+    ≤ 27·|qx|·127, far inside) so XLA lowers it onto the MXU/conv unit
+    instead of a slow integer fallback.
+    """
+    lhs = qin.astype(jnp.float32)
+    rhs = jnp.transpose(weight_oihw, (2, 3, 1, 0)).astype(jnp.float32)  # HWIO
+    acc = jax.lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(stride, stride),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return acc.astype(jnp.int32) + bias.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# NNUE
+# ---------------------------------------------------------------------------
+
+
+def nnue_sim_params(q: QuantizedNNUE) -> Tuple[Dict, NNUESimCfg]:
+    """Device arrays + static config for `nnue_engine_forward`."""
+    params = {
+        "conv_w": jnp.asarray(q.conv.weight, jnp.int32),
+        "conv_b": jnp.asarray(q.conv.bias, jnp.int32),
+        "ft_w": jnp.asarray(q.ft.weight, jnp.int32),
+        "ft_b": jnp.asarray(q.ft.bias, jnp.int32),
+        "fc1_w": jnp.asarray(q.fc1.weight, jnp.int8),
+        "fc1_b": jnp.asarray(q.fc1.bias, jnp.int32),
+        "fc2_w": jnp.asarray(q.fc2.weight, jnp.int8),
+        "fc2_b": jnp.asarray(q.fc2.bias, jnp.int32),
+        "out_w": jnp.asarray(q.out.weight, jnp.int8),
+        "out_b": jnp.asarray(q.out.bias, jnp.int32),
+        "visual_threshold": jnp.float32(q.visual_threshold),
+        "num_features_f32": jnp.float32(q.num_features),
+    }
+    cfg = NNUESimCfg(
+        grid_size=q.grid_size,
+        channels=q.num_features_per_square,
+        l1=q.l1,
+        l2=q.l2,
+        l3=q.l3,
+        num_classes=q.num_classes,
+        conv_scale=int(q.conv.scale),
+        fc1_scale=int(q.fc1.scale),
+        fc2_scale=int(q.fc2.scale),
+        out_scale=float(q.out.scale),
+        quantized_one=int(q.quantized_one),
+    )
+    return params, cfg
+
+
+def _dot_i8(x_i8: jnp.ndarray, w_i8: jnp.ndarray) -> jnp.ndarray:
+    """(B, in) int8 × (out, in) int8 → (B, out) int32 on the MXU."""
+    return jax.lax.dot_general(
+        x_i8,
+        w_i8,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "image_h", "image_w"))
+def nnue_engine_forward(
+    params: Dict, images: jnp.ndarray, *, cfg: NNUESimCfg, image_h: int, image_w: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bit-exact NNUE int8 inference for a batch.
+
+    Args:
+      params, cfg: from `nnue_sim_params`.
+      images: (B, H, W, 3) float32, HWC interleaved exactly as the engine
+        reads its `.bin` input (nnue_inference.cpp:23-30 reads H·W·3 floats
+        and indexes `(h*W + w)*3 + c`).
+
+    Returns:
+      (logits (B, num_classes) float32, density (B,) float32) — identical to
+      the `nnue_inference` CLI's CSV line per image.
+    """
+    s = cfg
+    grid, ch = s.grid_size, s.channels
+    stride = engine_conv_stride(image_h, grid)
+
+    # Conv (nnue_engine.cpp:48-157): quantize input, int32 accumulate,
+    # truncating /scale, clamp ±127.
+    qin = _quantize_input(images, s.conv_scale)
+    acc = _int_conv3x3(qin, params["conv_w"], params["conv_b"], stride)
+    conv_out = jnp.clip(_tdiv(acc, s.conv_scale), -127, 127)  # (B,oh,ow,C)
+
+    # Flat placement into the zero-filled grid²·C buffer, then reinterpret
+    # with grid-sized rows (nnue_engine.cpp:679-683, nnue_engine.h:236-253).
+    b = conv_out.shape[0]
+    flat = conv_out.reshape(b, -1)
+    num_features = grid * grid * ch
+    pad = num_features - flat.shape[1]
+    if pad < 0:
+        raise ValueError("conv output exceeds feature grid — invalid config")
+    buf = jnp.pad(flat, ((0, 0), (0, pad)))
+
+    # Active-feature mask: float compare value > threshold (nnue_engine.h:246).
+    mask = buf.astype(jnp.float32) > params["visual_threshold"]  # (B, F)
+    # The engine derives density with one f32 division
+    # (nnue_inference.cpp:54); XLA's f32 divide is reciprocal-refined and
+    # can be 1 ULP off for non-power-of-two divisors, so we also return the
+    # integer count — hosts needing exact density divide it in numpy.
+    active_count = mask.sum(axis=1).astype(jnp.int32)
+    density = active_count.astype(jnp.float32) / params["num_features_f32"]
+
+    # Feature transformer: int16 accumulator with wraparound
+    # (simd_scalar.cpp:78-95). Sum in f32 (exact: ≤ F·127 + |bias| < 2^24),
+    # then reduce mod 2^16.
+    ft = mask.astype(jnp.float32) @ params["ft_w"].astype(jnp.float32)
+    ft = ft.astype(jnp.int32) + params["ft_b"]
+    ft = _wrap_i16(ft)
+
+    # Clipped ReLU to [0, quantized_one] (nnue_engine.cpp:726-729).
+    ft = jnp.clip(ft, 0, s.quantized_one)
+
+    # Pairwise interaction (nnue_engine.cpp:491-500).
+    half = s.l1 // 2
+    a, bb = ft[:, :half], ft[:, half:]
+    prod = jnp.clip(_tdiv(a * bb, 128), 0, 127)
+    pairwise = jnp.concatenate([prod, jnp.clip(a, 0, 127)], axis=1)
+
+    # Dense 1 (nnue_engine.cpp:503-509): /l1_scale truncating, clamp [0,127].
+    h1 = _dot_i8(pairwise.astype(jnp.int8), params["fc1_w"]) + params["fc1_b"]
+    h1 = jnp.clip(_tdiv(h1, s.fc1_scale), 0, 127)
+
+    # Dense 2 (nnue_engine.cpp:512-523): clamp ±127 then ReLU.
+    h2 = _dot_i8(h1.astype(jnp.int8), params["fc2_w"]) + params["fc2_b"]
+    h2 = jnp.maximum(jnp.clip(_tdiv(h2, s.fc2_scale), -127, 127), 0)
+
+    # Output (nnue_engine.cpp:526-533): float logits acc/output_scale.
+    # Exact for power-of-two scales (the only value either serializer
+    # emits is 64); see density note above for the general case.
+    out = _dot_i8(h2.astype(jnp.int8), params["out_w"]) + params["out_b"]
+    logits = out.astype(jnp.float32) / jnp.float32(s.out_scale)
+    return logits, density, active_count
+
+
+# ---------------------------------------------------------------------------
+# EtinyNet
+# ---------------------------------------------------------------------------
+
+
+def etiny_sim_params(q: QuantizedEtinyNet) -> Tuple[Dict, EtinySimCfg]:
+    """Device arrays + static config for `etiny_engine_forward`."""
+    blocks = []
+    block_cfgs = []
+    for blk in q.blocks:
+        blocks.append(
+            {
+                "pw_expand_w": jnp.asarray(blk.pw_expand, jnp.int8),
+                "pw_expand_b": jnp.asarray(blk.pw_expand_bias, jnp.int32),
+                "dw_w": jnp.asarray(blk.dw, jnp.int32),
+                "pw_project_w": jnp.asarray(blk.pw_project, jnp.int8),
+            }
+        )
+        block_cfgs.append(
+            EtinyBlockCfg(
+                stride=int(blk.stride),
+                s_expand=int(blk.pw_expand_scale),
+                s_dw=int(blk.dw_scale),
+                s_project=int(blk.pw_project_scale),
+                is_dense=bool(blk.is_dense),
+            )
+        )
+    params = {
+        "stem_w": jnp.asarray(q.stem.weight, jnp.int32),
+        "stem_b": jnp.asarray(q.stem.bias, jnp.int32),
+        "blocks": blocks,
+        "cls_w": jnp.asarray(q.classifier.weight, jnp.int8),
+        "cls_b": jnp.asarray(q.classifier.bias, jnp.int32),
+    }
+    cfg = EtinySimCfg(
+        stem_scale=int(q.stem.scale),
+        cls_scale=float(q.classifier.scale),
+        num_classes=q.num_classes,
+        blocks=tuple(block_cfgs),
+    )
+    return params, cfg
+
+
+def _dw_conv3x3_int(
+    x: jnp.ndarray, dw_w: jnp.ndarray, stride: int
+) -> jnp.ndarray:
+    """Exact depthwise 3x3, padding=1, NHWC int values via f32 conv.
+
+    |acc| ≤ 9·127·127 ≈ 145k — exact in f32. dw_w is (C, 3, 3).
+    """
+    c = dw_w.shape[0]
+    rhs = jnp.transpose(dw_w, (1, 2, 0)).reshape(3, 3, 1, c).astype(jnp.float32)
+    acc = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32),
+        rhs,
+        window_strides=(stride, stride),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+    return acc.astype(jnp.int32)
+
+
+def _pw_conv_i8(x_i8: jnp.ndarray, w_i8: jnp.ndarray) -> jnp.ndarray:
+    """1x1 conv as a matmul over the channel dim: (B,H,W,Cin)×(Cout,Cin)."""
+    return jax.lax.dot_general(
+        x_i8,
+        w_i8,
+        dimension_numbers=(((3,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "image_h", "image_w"))
+def etiny_engine_forward(
+    params: Dict, images: jnp.ndarray, *, cfg: EtinySimCfg, image_h: int, image_w: int
+) -> jnp.ndarray:
+    """Bit-exact EtinyNet int8 inference for a batch.
+
+    Mirrors EtinyNetEvaluator::evaluate (nnue_engine.cpp:1318-1419): stem
+    conv on the raw float image (stride 2), LB/DLB chain (the engine never
+    enables the DLB skip path — nnue_engine.cpp:977-982 — so DLB ≡ LB),
+    truncating-division requantization with ReLU6 as clamp[0,6]
+    (nnue_engine.cpp:906-973), int global average pool (:1452-1463), float
+    classifier output (:1028-1040).
+
+    Returns logits (B, num_classes) float32, identical to the
+    `etinynet_inference` CLI's RESULT_i lines.
+    """
+    s = cfg
+
+    # Stem conv — raw float input, engine-fixed stride 2 (cpp:1341-1351).
+    qin = _quantize_input(images, s.stem_scale)
+    acc = _int_conv3x3(qin, params["stem_w"], params["stem_b"], stride=2)
+    x = jnp.clip(_tdiv(acc, s.stem_scale), -127, 127)
+
+    for blk, bs in zip(params["blocks"], s.blocks):
+        in_h, in_w = x.shape[1], x.shape[2]
+        # pw-expand + ReLU6 (cpp:906-924).
+        acc = _pw_conv_i8(x.astype(jnp.int8), blk["pw_expand_w"])
+        acc = acc + blk["pw_expand_b"]
+        h = jnp.clip(_tdiv(acc, bs.s_expand), 0, 6)
+        # depthwise 3x3 + ReLU6 (cpp:927-952).
+        acc = _dw_conv3x3_int(h, blk["dw_w"], bs.stride)
+        h = jnp.clip(_tdiv(acc, bs.s_dw), 0, 6)
+        # pw-project, no bias, no activation (cpp:955-973).
+        acc = _pw_conv_i8(h.astype(jnp.int8), blk["pw_project_w"])
+        x = jnp.clip(_tdiv(acc, bs.s_project), -127, 127)
+
+        if bs.is_dense:
+            # Engine quirk, reproduced for bit parity: the evaluator assumes
+            # dense blocks preserve spatial dims (nnue_engine.cpp:1381-1397)
+            # even when the inner LB has stride 2, so the real (smaller)
+            # output lands flat at the front of a zero-filled (in_h, in_w)
+            # buffer. Identity when stride == 1. Our own serializer avoids
+            # ever hitting the scrambling case by tagging stride-2 dense
+            # blocks as plain LB (see models/etinynet.py).
+            out_c = x.shape[3]
+            flat = x.reshape(x.shape[0], -1)
+            pad = in_h * in_w * out_c - flat.shape[1]
+            x = jnp.pad(flat, ((0, 0), (0, pad))).reshape(
+                x.shape[0], in_h, in_w, out_c
+            )
+
+    # Global average pool: int32 sum, truncating mean, clamp (cpp:1452-1463).
+    hw = x.shape[1] * x.shape[2]
+    pooled = jnp.clip(_tdiv(x.sum(axis=(1, 2)), hw), -127, 127)
+
+    # Classifier: float output acc/scale (cpp:1028-1040).
+    out = _dot_i8(pooled.astype(jnp.int8), params["cls_w"]) + params["cls_b"]
+    return out.astype(jnp.float32) / jnp.float32(s.cls_scale)
