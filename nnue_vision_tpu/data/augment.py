@@ -1,0 +1,229 @@
+"""On-device augmentation: a fused, stateless XLA preprocessing graph.
+
+The reference augments per-sample on the host with albumentations
+(data/datasets.py:173-374 upstream) — CPU-bound and unjittable. Here the
+whole batch is augmented on the TPU as one jitted function of
+(rng, images): every transform is a branchless `jnp.where` blend driven by
+per-sample Bernoulli draws, so the compiled graph is static and fuses into
+the training step's input pipeline.
+
+Tier parity (same transform families and probabilities as upstream):
+  light : hflip(0.5), brightness/contrast ±0.1 (0.2), cutout 5% (0.2)
+  medium: + rot90(0.5), rotate ±15° (0.3), affine translate ±10%/scale
+          0.9–1.1 (0.3), brightness/contrast ±0.2 (0.3), HSV shift (0.3),
+          blur 3x3 (0.2), gauss noise σ∈[0.01,0.05] (0.2), cutout 5–15%
+          (0.3), color jitter (0.2)
+  heavy : medium + a second aggressive pass (extra flip/rot90, rotate ±25°
+          (0.2), affine ±15%/0.85–1.15, brightness ±0.3, stronger noise
+          σ∈[0.05,0.1], cutout 10–25% ×2)
+
+Upstream's low-probability exotics (shadow/fog/grid-distortion/elastic/
+CLAHE/posterize/equalize, each p≤0.1) are approximated by the stronger
+noise/contrast families for now; distributional coverage is tested, not
+pixel parity (SURVEY.md §7 hard-part 4).
+
+Images are float32 [0,1] NHWC throughout; `normalize_images` applies the
+ImageNet statistics at the end exactly like the upstream pipeline's
+terminal `A.Normalize` (data/datasets.py:357-374 upstream).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+STRENGTHS = ("light", "medium", "heavy")
+
+
+def normalize_images(images: jnp.ndarray) -> jnp.ndarray:
+    """(x - mean) / std with ImageNet statistics; NHWC float in [0,1]."""
+    mean = jnp.asarray(IMAGENET_MEAN, images.dtype)
+    std = jnp.asarray(IMAGENET_STD, images.dtype)
+    return (images - mean) / std
+
+
+def _bernoulli(key, p, b):
+    return jax.random.uniform(key, (b, 1, 1, 1)) < p
+
+
+def _hflip(key, x, p):
+    return jnp.where(_bernoulli(key, p, x.shape[0]), x[:, :, ::-1, :], x)
+
+
+def _rot90(key, x, p):
+    """Random 0/90/180/270 rotation per sample (square images)."""
+    b = x.shape[0]
+    k_apply, k_choice = jax.random.split(key)
+    choice = jax.random.randint(k_choice, (b,), 0, 4)
+    rots = jnp.stack(
+        [x, jnp.rot90(x, 1, (1, 2)), jnp.rot90(x, 2, (1, 2)), jnp.rot90(x, 3, (1, 2))],
+        axis=0,
+    )
+    rotated = rots[choice, jnp.arange(b)]
+    return jnp.where(_bernoulli(k_apply, p, b), rotated, x)
+
+
+def _affine(key, x, p, max_deg, max_translate, scale_range):
+    """Rotation+translation+scale via one inverse-warp bilinear resample."""
+    b, h, w, _ = x.shape
+    keys = jax.random.split(key, 5)
+    apply = _bernoulli(keys[0], p, b)
+    deg = jax.random.uniform(keys[1], (b,), minval=-max_deg, maxval=max_deg)
+    theta = deg * (jnp.pi / 180.0)
+    tx = jax.random.uniform(keys[2], (b,), minval=-max_translate, maxval=max_translate) * w
+    ty = jax.random.uniform(keys[3], (b,), minval=-max_translate, maxval=max_translate) * h
+    sc = jax.random.uniform(keys[4], (b,), minval=scale_range[0], maxval=scale_range[1])
+
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None] - cy
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :] - cx
+
+    cos = (jnp.cos(theta) / sc)[:, None, None]
+    sin = (jnp.sin(theta) / sc)[:, None, None]
+    dy = yy - ty[:, None, None]
+    dx = xx - tx[:, None, None]
+    # inverse map: src = R(-θ)/s · (dst - t) + center
+    src_y = cos * dy + sin * dx + cy
+    src_x = -sin * dy + cos * dx + cx
+
+    def sample_one(img, sy, sx):
+        def grab(c):
+            return jax.scipy.ndimage.map_coordinates(
+                img[:, :, c], [sy, sx], order=1, mode="constant", cval=0.0
+            )
+        return jnp.stack([grab(0), grab(1), grab(2)], axis=-1)
+
+    warped = jax.vmap(sample_one)(x, src_y, src_x)
+    return jnp.where(apply, warped, x)
+
+
+def _brightness_contrast(key, x, p, limit):
+    b = x.shape[0]
+    keys = jax.random.split(key, 3)
+    apply = _bernoulli(keys[0], p, b)
+    bright = jax.random.uniform(keys[1], (b, 1, 1, 1), minval=-limit, maxval=limit)
+    contr = 1.0 + jax.random.uniform(keys[2], (b, 1, 1, 1), minval=-limit, maxval=limit)
+    out = jnp.clip((x - 0.5) * contr + 0.5 + bright, 0.0, 1.0)
+    return jnp.where(apply, out, x)
+
+
+def _hsv_shift(key, x, p, hue_lim, sat_lim, val_lim):
+    """Approximate HSV jitter without a full RGB↔HSV round trip: hue via a
+    small channel rotation, saturation via blend with luma, value via gain."""
+    b = x.shape[0]
+    keys = jax.random.split(key, 4)
+    apply = _bernoulli(keys[0], p, b)
+    hue = jax.random.uniform(keys[1], (b, 1, 1, 1), minval=-hue_lim, maxval=hue_lim)
+    sat = 1.0 + jax.random.uniform(keys[2], (b, 1, 1, 1), minval=-sat_lim, maxval=sat_lim)
+    val = 1.0 + jax.random.uniform(keys[3], (b, 1, 1, 1), minval=-val_lim, maxval=val_lim)
+    luma = (0.299 * x[..., :1] + 0.587 * x[..., 1:2] + 0.114 * x[..., 2:3])
+    shifted = jnp.concatenate(
+        [x[..., :1] + hue, x[..., 1:2], x[..., 2:3] - hue], axis=-1
+    )
+    out = jnp.clip((luma + (shifted - luma) * sat) * val, 0.0, 1.0)
+    return jnp.where(apply, out, x)
+
+
+def _blur(key, x, p):
+    """3x3 box/gaussian-ish blur (depthwise conv)."""
+    b = x.shape[0]
+    kernel = jnp.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], jnp.float32) / 16.0
+    k = jnp.tile(kernel[:, :, None, None], (1, 1, 1, 3))
+    blurred = jax.lax.conv_general_dilated(
+        x, k, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=3,
+    )
+    return jnp.where(_bernoulli(key, p, b), blurred, x)
+
+
+def _gauss_noise(key, x, p, sigma_range):
+    b = x.shape[0]
+    keys = jax.random.split(key, 3)
+    apply = _bernoulli(keys[0], p, b)
+    sigma = jax.random.uniform(
+        keys[1], (b, 1, 1, 1), minval=sigma_range[0], maxval=sigma_range[1]
+    )
+    noise = jax.random.normal(keys[2], x.shape) * sigma
+    return jnp.where(apply, jnp.clip(x + noise, 0.0, 1.0), x)
+
+
+def _cutout(key, x, p, size_range):
+    """One random rectangular hole per sample (CoarseDropout)."""
+    b, h, w, _ = x.shape
+    keys = jax.random.split(key, 4)
+    apply = _bernoulli(keys[0], p, b)
+    frac = jax.random.uniform(
+        keys[1], (b,), minval=size_range[0], maxval=size_range[1]
+    )
+    hh = jnp.maximum(1, (frac * h).astype(jnp.int32))
+    ww = jnp.maximum(1, (frac * w).astype(jnp.int32))
+    y0 = (jax.random.uniform(keys[2], (b,)) * (h - hh)).astype(jnp.int32)
+    x0 = (jax.random.uniform(keys[3], (b,)) * (w - ww)).astype(jnp.int32)
+    yy = jnp.arange(h)[None, :, None]
+    xx = jnp.arange(w)[None, None, :]
+    hole = (
+        (yy >= y0[:, None, None]) & (yy < (y0 + hh)[:, None, None])
+        & (xx >= x0[:, None, None]) & (xx < (x0 + ww)[:, None, None])
+    )[..., None]
+    return jnp.where(apply & hole, 0.0, x)
+
+
+@functools.partial(jax.jit, static_argnames=("strength",))
+def augment_batch(
+    key: jax.Array, images: jnp.ndarray, strength: str = "medium"
+) -> jnp.ndarray:
+    """Apply one augmentation tier to a float [0,1] NHWC batch."""
+    if strength not in STRENGTHS:
+        raise ValueError(f"strength must be one of {STRENGTHS}")
+    ks = list(jax.random.split(key, 24))
+    x = images
+
+    x = _hflip(ks[0], x, 0.5)
+    if strength == "light":
+        x = _brightness_contrast(ks[1], x, 0.2, 0.1)
+        x = _cutout(ks[2], x, 0.2, (0.05, 0.051))
+        return x
+
+    # medium base
+    x = _rot90(ks[1], x, 0.5)
+    x = _affine(ks[2], x, 0.3, 15.0, 0.0, (1.0, 1.0001))        # Rotate(15, .3)
+    x = _affine(ks[3], x, 0.3, 15.0, 0.1, (0.9, 1.1))           # Affine
+    x = _brightness_contrast(ks[4], x, 0.3, 0.2)
+    x = _hsv_shift(ks[5], x, 0.3, 10 / 255.0, 0.15, 10 / 255.0)
+    x = _blur(ks[6], x, 0.2)
+    x = _gauss_noise(ks[7], x, 0.2, (0.01, 0.05))
+    x = _cutout(ks[8], x, 0.3, (0.05, 0.15))
+    x = _hsv_shift(ks[9], x, 0.2, 8 / 255.0, 0.1, 8 / 255.0)    # ColorJitter approx
+
+    if strength == "heavy":
+        x = _hflip(ks[10], x, 0.1)
+        x = _rot90(ks[11], x, 0.1)
+        x = _affine(ks[12], x, 0.2, 25.0, 0.0, (1.0, 1.0001))
+        x = _affine(ks[13], x, 0.2, 25.0, 0.15, (0.85, 1.15))
+        x = _brightness_contrast(ks[14], x, 0.2, 0.3)
+        x = _hsv_shift(ks[15], x, 0.2, 15 / 255.0, 0.2, 15 / 255.0)
+        x = _blur(ks[16], x, 0.2)
+        x = _gauss_noise(ks[17], x, 0.2, (0.05, 0.1))
+        x = _cutout(ks[18], x, 0.2, (0.1, 0.25))
+        x = _cutout(ks[19], x, 0.2, (0.1, 0.25))
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("strength", "augment"))
+def preprocess_batch(
+    key: jax.Array,
+    images: jnp.ndarray,
+    strength: str = "medium",
+    augment: bool = True,
+) -> jnp.ndarray:
+    """augment (train only) → normalize. The single device-side entry point
+    the train/eval loops use; mirrors the upstream transform order
+    (augmentations, then terminal Normalize)."""
+    x = augment_batch(key, images, strength) if augment else images
+    return normalize_images(x)

@@ -1,0 +1,391 @@
+"""EtinyNet — TPU-native training model (LB / DLB tinyML CNN).
+
+Capability parity with the reference (nnue.py:93-444): same four variants
+("1.0", "0.75", "0.98M", "micro") with identical stage tables, stem conv
+3x3 s2, Linear Depthwise Blocks (pw-expand → BN → ReLU6 → dw 3x3 → BN →
+ReLU6 → pw-project → BN, residual when stride=1 & in==out), Dense LB
+(concat input with LB output → 1x1 projection → BN), final 1x1 conv +
+global average pool + linear classifier.
+
+TPU-first design decisions:
+* NHWC layout throughout; depthwise via `feature_group_count` — both map
+  directly onto the TPU conv unit. bfloat16 compute optional.
+* Pure functions over (params, batch_stats) pytrees; BatchNorm running
+  stats are explicit state threaded through `etinynet_apply`, so the whole
+  train step stays jit/pjit-compatible with no mutable modules.
+* Serialization folds BatchNorm into conv weights wherever the `.etiny` v1
+  format can carry it (the reference serializes UNFOLDED weights with zero
+  biases — serialize.py:267-269 — making its int8 engine output nearly
+  unrelated to the trained model; we fold: pw_expand gets scale+bias,
+  dw/pw_project get scale with bias dropped — the format has no slot).
+* Stride-2 dense blocks are tagged as plain LB on serialization so the
+  engine tracks spatial dims correctly (see ops/engine_sim.py for the
+  upstream scrambling quirk this avoids).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nnue_vision_tpu.formats import (
+    QConv,
+    QLBBlock,
+    QLinear,
+    QuantizedEtinyNet,
+)
+from nnue_vision_tpu.quantize import quantize_bias_i32, quantize_weight_i8
+
+# Stage tables (reference nnue.py:199-296). Each stage is a list of
+# (in, mid, out) triples expanded per block; first block of each stage has
+# stride 2. Stages 1-2 are LB, stages 3-4 are DLB.
+ETINYNET_VARIANTS = {
+    "1.0": {
+        "conv_channels": 32,
+        "stage1": [(32, 32, 32)] * 4,
+        "stage2": [(32, 128, 128)] + [(128, 128, 128)] * 3,
+        "stage3": [(128, 192, 192)] + [(192, 192, 192)] * 2,
+        "stage4": [(192, 256, 256)] + [(256, 256, 256)] * 1,
+        "final_channels": 1280,
+    },
+    "0.75": {
+        "conv_channels": 24,
+        "stage1": [(24, 24, 24)] * 3,
+        "stage2": [(24, 96, 96)] + [(96, 96, 96)] * 2,
+        "stage3": [(96, 144, 144)] + [(144, 144, 144)] * 2,
+        "stage4": [(144, 192, 192)] + [(192, 192, 192)] * 1,
+        "final_channels": 960,
+    },
+    "0.98M": {
+        "conv_channels": 28,
+        "stage1": [(28, 28, 28)] * 3,
+        "stage2": [(28, 112, 112)] + [(112, 112, 112)] * 2,
+        "stage3": [(112, 168, 168)] + [(168, 168, 168)] * 2,
+        "stage4": [(168, 224, 224)] + [(224, 224, 224)] * 1,
+        "final_channels": 1120,
+    },
+    "micro": {
+        "conv_channels": 8,
+        "stage1": [(8, 8, 8)] * 1,
+        "stage2": [(8, 16, 16)] + [(16, 16, 16)] * 0 + [(16, 16, 16)],
+        "stage3": [(16, 24, 24)] + [(24, 24, 24)] * 0 + [(24, 24, 24)],
+        "stage4": [(24, 32, 32)] + [(32, 32, 32)] * 0 + [(32, 32, 32)],
+        "final_channels": 128,
+    },
+}
+
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.9
+
+
+@dataclasses.dataclass(frozen=True)
+class EtinyNetConfig:
+    variant: str = "1.0"
+    num_classes: int = 1000
+    input_size: int = 112
+    use_asq: bool = False
+    asq_bits: int = 4
+    dtype: str = "float32"
+
+    @property
+    def table(self) -> dict:
+        if self.variant not in ETINYNET_VARIANTS:
+            raise ValueError(f"unknown EtinyNet variant: {self.variant}")
+        return ETINYNET_VARIANTS[self.variant]
+
+    def block_specs(self) -> List[Tuple[str, int, int, int, int, bool]]:
+        """[(kind, in, mid, out, stride, dense)] in forward order.
+
+        The first block of every stage gets stride 2; the input channels of
+        each stage's first block come from the previous stage's output
+        (reference nnue.py:320-410).
+        """
+        t = self.table
+        specs = []
+        prev = t["conv_channels"]
+        for stage, dense in (("stage1", False), ("stage2", False),
+                             ("stage3", True), ("stage4", True)):
+            for i, (_, mid, out) in enumerate(t[stage]):
+                stride = 2 if i == 0 else 1
+                specs.append(("dlb" if dense else "lb", prev, mid, out, stride, dense))
+                prev = out
+        return specs
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _conv_init(rng, shape):
+    # torch Conv2d default: U(±1/sqrt(fan_in)); shape is HWIO.
+    fan_in = shape[0] * shape[1] * shape[2]
+    bound = 1.0 / math.sqrt(max(1, fan_in))
+    return jax.random.uniform(rng, shape, jnp.float32, -bound, bound)
+
+
+def _bn_init(ch):
+    return {
+        "scale": jnp.ones((ch,), jnp.float32),
+        "bias": jnp.zeros((ch,), jnp.float32),
+    }
+
+
+def _bn_state(ch):
+    return {
+        "mean": jnp.zeros((ch,), jnp.float32),
+        "var": jnp.ones((ch,), jnp.float32),
+    }
+
+
+def etinynet_init(rng: jax.Array, cfg: EtinyNetConfig) -> Tuple[Dict, Dict]:
+    """Returns (params, batch_stats)."""
+    t = cfg.table
+    specs = cfg.block_specs()
+    keys = iter(jax.random.split(rng, 8 + 5 * len(specs)))
+    params: Dict = {
+        "stem_w": _conv_init(next(keys), (3, 3, 3, t["conv_channels"])),  # HWIO
+        "stem_bn": _bn_init(t["conv_channels"]),
+        "blocks": [],
+        "final_w": _conv_init(next(keys), (1, 1, specs[-1][3], t["final_channels"])),
+        "final_bn": _bn_init(t["final_channels"]),
+    }
+    state: Dict = {
+        "stem_bn": _bn_state(t["conv_channels"]),
+        "blocks": [],
+        "final_bn": _bn_state(t["final_channels"]),
+    }
+    for kind, in_c, mid, out, stride, dense in specs:
+        bp = {
+            "pw_expand_w": _conv_init(next(keys), (1, 1, in_c, mid)),
+            "bn1": _bn_init(mid),
+            "dw_w": _conv_init(next(keys), (3, 3, 1, mid)),
+            "bn2": _bn_init(mid),
+            "pw_project_w": _conv_init(next(keys), (1, 1, mid, out)),
+            "bn3": _bn_init(out),
+        }
+        bs = {"bn1": _bn_state(mid), "bn2": _bn_state(mid), "bn3": _bn_state(out)}
+        if dense and stride == 1 and in_c == out:
+            bp["dense_proj_w"] = _conv_init(next(keys), (1, 1, in_c + out, out))
+            bp["dense_bn"] = _bn_init(out)
+            bs["dense_bn"] = _bn_state(out)
+        params["blocks"].append(bp)
+        state["blocks"].append(bs)
+    cls_bound = 1.0 / math.sqrt(t["final_channels"])
+    params["cls_w"] = jax.random.uniform(
+        next(keys), (cfg.num_classes, t["final_channels"]), jnp.float32,
+        -cls_bound, cls_bound,
+    )
+    params["cls_b"] = jax.random.uniform(
+        next(keys), (cfg.num_classes,), jnp.float32, -cls_bound, cls_bound
+    )
+    return params, state
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+
+
+def _batch_norm(x, p, s, train: bool):
+    """Standard BN over NHWC; returns (y, new_state)."""
+    if train:
+        mean = x.mean(axis=(0, 1, 2))
+        var = x.var(axis=(0, 1, 2))
+        new_s = {
+            "mean": BN_MOMENTUM * s["mean"] + (1 - BN_MOMENTUM) * mean,
+            "var": BN_MOMENTUM * s["var"] + (1 - BN_MOMENTUM) * var,
+        }
+    else:
+        mean, var = s["mean"], s["var"]
+        new_s = s
+    inv = jax.lax.rsqrt(var + BN_EPS)
+    y = (x - mean) * (inv * p["scale"]) + p["bias"]
+    return y, new_s
+
+
+def _conv(x, w_hwio, stride=1, groups=1):
+    return jax.lax.conv_general_dilated(
+        x, w_hwio,
+        window_strides=(stride, stride),
+        padding=((1, 1), (1, 1)) if w_hwio.shape[0] == 3 else ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+
+
+def etinynet_apply(
+    params: Dict,
+    state: Dict,
+    images: jnp.ndarray,
+    cfg: EtinyNetConfig,
+    train: bool = False,
+) -> Tuple[jnp.ndarray, Dict]:
+    """Forward: (B, H, W, 3) → (logits (B, classes), new batch_stats)."""
+    dtype = jnp.dtype(cfg.dtype)
+    x = images.astype(dtype)
+    new_state: Dict = {"blocks": []}
+
+    x = _conv(x, params["stem_w"].astype(dtype), stride=2)
+    x, new_state["stem_bn"] = _batch_norm(x, params["stem_bn"], state["stem_bn"], train)
+    x = jnp.clip(x, 0.0, 6.0)  # relu6
+
+    specs = cfg.block_specs()
+    for (kind, in_c, mid, out, stride, dense), bp, bs in zip(
+        specs, params["blocks"], state["blocks"]
+    ):
+        identity = x
+        ns = {}
+        h = _conv(x, bp["pw_expand_w"].astype(dtype))
+        h, ns["bn1"] = _batch_norm(h, bp["bn1"], bs["bn1"], train)
+        h = jnp.clip(h, 0.0, 6.0)
+        h = _conv(h, bp["dw_w"].astype(dtype), stride=stride, groups=mid)
+        h, ns["bn2"] = _batch_norm(h, bp["bn2"], bs["bn2"], train)
+        h = jnp.clip(h, 0.0, 6.0)
+        h = _conv(h, bp["pw_project_w"].astype(dtype))
+        h, ns["bn3"] = _batch_norm(h, bp["bn3"], bs["bn3"], train)
+
+        use_residual = stride == 1 and in_c == out
+        if use_residual:
+            h = h + identity
+        if dense and use_residual:
+            cat = jnp.concatenate([identity, h], axis=-1)
+            h = _conv(cat, bp["dense_proj_w"].astype(dtype))
+            h, ns["dense_bn"] = _batch_norm(h, bp["dense_bn"], bs["dense_bn"], train)
+        new_state["blocks"].append(ns)
+        x = h
+
+    x = _conv(x, params["final_w"].astype(dtype))
+    x, new_state["final_bn"] = _batch_norm(x, params["final_bn"], state["final_bn"], train)
+    x = jnp.clip(x, 0.0, 6.0)
+    x = x.mean(axis=(1, 2))  # global average pool
+
+    logits = x @ params["cls_w"].T.astype(dtype) + params["cls_b"].astype(dtype)
+    return logits.astype(jnp.float32), new_state
+
+
+def count_parameters(params: Dict) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# quantization → QuantizedEtinyNet
+# ---------------------------------------------------------------------------
+
+
+def _fold_bn(w_hwio: np.ndarray, bn_p: Dict, bn_s: Dict):
+    """Fold inference-time BN into the preceding conv.
+
+    y = (conv(x) - m) * g/sqrt(v+eps) + b  →  conv'(x) + bias'
+    with conv' = conv scaled per out-channel and bias' = b - m*g/sqrt(v+eps).
+    """
+    g = np.asarray(bn_p["scale"], np.float64)
+    b = np.asarray(bn_p["bias"], np.float64)
+    m = np.asarray(bn_s["mean"], np.float64)
+    v = np.asarray(bn_s["var"], np.float64)
+    k = g / np.sqrt(v + BN_EPS)
+    return np.asarray(w_hwio, np.float64) * k, b - m * k
+
+
+# Amplification gain applied by the synthetic final block's projection:
+# int features leave the block as 16×float-value, lifting the classifier
+# input resolution from 7 levels ([0,6]) to 97 ([0,96]). The classifier's
+# scale absorbs the gain so logits keep their float meaning.
+_FINAL_GAIN = 16
+
+
+def etinynet_quantize(
+    params: Dict, state: Dict, cfg: EtinyNetConfig
+) -> QuantizedEtinyNet:
+    """float (params, batch_stats) → engine-domain QuantizedEtinyNet.
+
+    BN folding policy (the `.etiny` v1 format constrains what can be
+    carried — see module docstring):
+      stem + pw_expand: scale folded into weights, bias into the int32 slot.
+      dw / pw_project: scale folded into weights; bias has no format slot
+        and is dropped (documented accuracy loss, still far closer to the
+        trained model than the reference's fully-unfolded export).
+      dense_proj / residuals: not representable in the format at all
+        (upstream engine never executes them); dropped, as upstream does.
+    Stride-2 dense blocks are tagged LB so the engine's spatial-dim
+    tracking stays correct.
+
+    The model's final 1x1 conv + BN + ReLU6 (which the reference serializer
+    silently drops — serialize.py:317-351 — leaving its engine classifier
+    reading out-of-bounds pooled memory) is encoded as a synthetic LB
+    block: pw_expand = the folded final conv (the engine's clamp[0,6] IS
+    ReLU6), an identity depthwise pass (center tap = scale), and an
+    amplifying identity projection (64·I at scale 64/_FINAL_GAIN). The
+    classifier's f32 scale divides the gain back out.
+    """
+    p = jax.device_get(params)
+    s = jax.device_get(state)
+    t = cfg.table
+
+    stem_w, stem_b = _fold_bn(p["stem_w"], p["stem_bn"], s["stem_bn"])
+    stem = QConv(
+        weight=quantize_weight_i8(np.transpose(stem_w, (3, 2, 0, 1))),  # OIHW
+        bias=quantize_bias_i32(stem_b),
+    )
+
+    blocks = []
+    for (kind, in_c, mid, out, stride, dense), bp, bs in zip(
+        cfg.block_specs(), p["blocks"], s["blocks"]
+    ):
+        pw_e, pw_e_bias = _fold_bn(bp["pw_expand_w"], bp["bn1"], bs["bn1"])
+        dw, _ = _fold_bn(bp["dw_w"], bp["bn2"], bs["bn2"])
+        pw_p, _ = _fold_bn(bp["pw_project_w"], bp["bn3"], bs["bn3"])
+        blocks.append(
+            QLBBlock(
+                pw_expand=quantize_weight_i8(pw_e[0, 0].T),  # (mid, in)
+                dw=quantize_weight_i8(np.transpose(dw[:, :, 0, :], (2, 0, 1))),
+                pw_project=quantize_weight_i8(pw_p[0, 0].T),  # (out, mid)
+                stride=stride,
+                is_dense=bool(dense and stride == 1),
+                pw_expand_bias=quantize_bias_i32(pw_e_bias),
+            )
+        )
+
+    # Synthetic final block: folded final conv + identity dw + amplifier.
+    fin = t["final_channels"]
+    final_w, final_b = _fold_bn(p["final_w"], p["final_bn"], s["final_bn"])
+    dw_identity = np.zeros((fin, 3, 3), np.int8)
+    dw_identity[:, 1, 1] = 64
+    blocks.append(
+        QLBBlock(
+            pw_expand=quantize_weight_i8(final_w[0, 0].T),  # (fin, last_out)
+            dw=dw_identity,
+            pw_project=(np.eye(fin) * 64).astype(np.int8),
+            stride=1,
+            is_dense=False,
+            pw_expand_scale=64.0,
+            dw_scale=64.0,
+            pw_project_scale=64.0 / _FINAL_GAIN,
+            pw_expand_bias=quantize_bias_i32(final_b),
+        )
+    )
+
+    return QuantizedEtinyNet(
+        variant=cfg.variant,
+        num_classes=cfg.num_classes,
+        input_size=cfg.input_size,
+        conv_channels=t["conv_channels"],
+        final_channels=fin,
+        stem=stem,
+        blocks=blocks,
+        classifier=QLinear(
+            weight=quantize_weight_i8(p["cls_w"]),
+            bias=np.round(
+                np.asarray(jax.device_get(params)["cls_b"], np.float64)
+                * 64.0 * _FINAL_GAIN
+            ).astype(np.int32),
+            scale=64.0 * _FINAL_GAIN,
+        ),
+        use_asq=cfg.use_asq,
+        asq_bits=cfg.asq_bits,
+    ).validate()

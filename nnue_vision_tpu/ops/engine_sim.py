@@ -262,37 +262,61 @@ def nnue_engine_forward(
 # ---------------------------------------------------------------------------
 
 
+def _check_pow2(scale: float, what: str) -> int:
+    """The TPU path divides integer-valued f32 by the scale; truncation is
+    exact only for power-of-two scales. Both serializers (ours and the
+    reference) only ever emit powers of two (64, and 4 for the amplifier
+    block)."""
+    s = int(scale)
+    if s <= 0 or (s & (s - 1)) != 0:
+        raise ValueError(f"{what} scale {scale} is not a power of two; "
+                         "the bit-exact TPU fast path requires pow2 scales")
+    return s
+
+
 def etiny_sim_params(q: QuantizedEtinyNet) -> Tuple[Dict, EtinySimCfg]:
-    """Device arrays + static config for `etiny_engine_forward`."""
+    """Device arrays + static config for `etiny_engine_forward`.
+
+    Weights are stored pre-transposed in the layouts the forward consumes
+    (HWIO convs, (in, out) matmuls) as integer-valued float32: the whole
+    graph then runs in f32 — exact within the engine's value bounds (see
+    `etiny_engine_forward`) and far friendlier to the TPU compiler than a
+    long int8/int32 chain (which Mosaic takes tens of minutes to compile).
+    """
     blocks = []
     block_cfgs = []
     for blk in q.blocks:
+        mid = blk.mid_channels
         blocks.append(
             {
-                "pw_expand_w": jnp.asarray(blk.pw_expand, jnp.int8),
-                "pw_expand_b": jnp.asarray(blk.pw_expand_bias, jnp.int32),
-                "dw_w": jnp.asarray(blk.dw, jnp.int32),
-                "pw_project_w": jnp.asarray(blk.pw_project, jnp.int8),
+                "pw_expand_w": jnp.asarray(blk.pw_expand.T, jnp.float32),
+                "pw_expand_b": jnp.asarray(blk.pw_expand_bias, jnp.float32),
+                "dw_w": jnp.asarray(
+                    blk.dw.transpose(1, 2, 0).reshape(3, 3, 1, mid), jnp.float32
+                ),
+                "pw_project_w": jnp.asarray(blk.pw_project.T, jnp.float32),
             }
         )
         block_cfgs.append(
             EtinyBlockCfg(
                 stride=int(blk.stride),
-                s_expand=int(blk.pw_expand_scale),
-                s_dw=int(blk.dw_scale),
-                s_project=int(blk.pw_project_scale),
+                s_expand=_check_pow2(blk.pw_expand_scale, "pw_expand"),
+                s_dw=_check_pow2(blk.dw_scale, "dw"),
+                s_project=_check_pow2(blk.pw_project_scale, "pw_project"),
                 is_dense=bool(blk.is_dense),
             )
         )
     params = {
-        "stem_w": jnp.asarray(q.stem.weight, jnp.int32),
-        "stem_b": jnp.asarray(q.stem.bias, jnp.int32),
+        "stem_w": jnp.asarray(
+            q.stem.weight.transpose(2, 3, 1, 0), jnp.float32  # HWIO
+        ),
+        "stem_b": jnp.asarray(q.stem.bias, jnp.float32),
         "blocks": blocks,
         "cls_w": jnp.asarray(q.classifier.weight, jnp.int8),
         "cls_b": jnp.asarray(q.classifier.bias, jnp.int32),
     }
     cfg = EtinySimCfg(
-        stem_scale=int(q.stem.scale),
+        stem_scale=_check_pow2(q.stem.scale, "stem"),
         cls_scale=float(q.classifier.scale),
         num_classes=q.num_classes,
         blocks=tuple(block_cfgs),
@@ -300,34 +324,13 @@ def etiny_sim_params(q: QuantizedEtinyNet) -> Tuple[Dict, EtinySimCfg]:
     return params, cfg
 
 
-def _dw_conv3x3_int(
-    x: jnp.ndarray, dw_w: jnp.ndarray, stride: int
-) -> jnp.ndarray:
-    """Exact depthwise 3x3, padding=1, NHWC int values via f32 conv.
+def _tdiv_f32(a: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Truncating division of integer-valued f32 by a power-of-two scale.
 
-    |acc| ≤ 9·127·127 ≈ 145k — exact in f32. dw_w is (C, 3, 3).
+    a/s is exact in binary floating point for pow2 s, so trunc(a/s) equals
+    C integer division toward zero on the underlying integers.
     """
-    c = dw_w.shape[0]
-    rhs = jnp.transpose(dw_w, (1, 2, 0)).reshape(3, 3, 1, c).astype(jnp.float32)
-    acc = jax.lax.conv_general_dilated(
-        x.astype(jnp.float32),
-        rhs,
-        window_strides=(stride, stride),
-        padding=((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-    )
-    return acc.astype(jnp.int32)
-
-
-def _pw_conv_i8(x_i8: jnp.ndarray, w_i8: jnp.ndarray) -> jnp.ndarray:
-    """1x1 conv as a matmul over the channel dim: (B,H,W,Cin)×(Cout,Cin)."""
-    return jax.lax.dot_general(
-        x_i8,
-        w_i8,
-        dimension_numbers=(((3,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
+    return jnp.trunc(a / jnp.float32(s))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "image_h", "image_w"))
@@ -343,28 +346,46 @@ def etiny_engine_forward(
     (nnue_engine.cpp:906-973), int global average pool (:1452-1463), float
     classifier output (:1028-1040).
 
+    All arithmetic runs in integer-valued float32, exact because every
+    accumulator stays below 2^24: pw-expand |acc| ≤ 127·127·in_c (in_c ≤
+    256) + bias; depthwise |acc| ≤ 9·6·127; pw-project |acc| ≤ 6·127·mid
+    (mid ≤ 1280); divisions are by power-of-two scales. Only the classifier
+    (whose accumulator can approach 2^24) uses an int8×int8→int32 MXU dot.
+
     Returns logits (B, num_classes) float32, identical to the
     `etinynet_inference` CLI's RESULT_i lines.
     """
     s = cfg
 
     # Stem conv — raw float input, engine-fixed stride 2 (cpp:1341-1351).
-    qin = _quantize_input(images, s.stem_scale)
-    acc = _int_conv3x3(qin, params["stem_w"], params["stem_b"], stride=2)
-    x = jnp.clip(_tdiv(acc, s.stem_scale), -127, 127)
+    qin = jnp.trunc(images.astype(jnp.float32) * jnp.float32(s.stem_scale))
+    acc = jax.lax.conv_general_dilated(
+        qin, params["stem_w"], (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + params["stem_b"]
+    x = jnp.clip(_tdiv_f32(acc, s.stem_scale), -127, 127)
 
     for blk, bs in zip(params["blocks"], s.blocks):
         in_h, in_w = x.shape[1], x.shape[2]
         # pw-expand + ReLU6 (cpp:906-924).
-        acc = _pw_conv_i8(x.astype(jnp.int8), blk["pw_expand_w"])
-        acc = acc + blk["pw_expand_b"]
-        h = jnp.clip(_tdiv(acc, bs.s_expand), 0, 6)
+        acc = jax.lax.dot_general(
+            x, blk["pw_expand_w"], (((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + blk["pw_expand_b"]
+        h = jnp.clip(_tdiv_f32(acc, bs.s_expand), 0, 6)
         # depthwise 3x3 + ReLU6 (cpp:927-952).
-        acc = _dw_conv3x3_int(h, blk["dw_w"], bs.stride)
-        h = jnp.clip(_tdiv(acc, bs.s_dw), 0, 6)
+        c = h.shape[3]
+        acc = jax.lax.conv_general_dilated(
+            h, blk["dw_w"], (bs.stride, bs.stride), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        )
+        h = jnp.clip(_tdiv_f32(acc, bs.s_dw), 0, 6)
         # pw-project, no bias, no activation (cpp:955-973).
-        acc = _pw_conv_i8(h.astype(jnp.int8), blk["pw_project_w"])
-        x = jnp.clip(_tdiv(acc, bs.s_project), -127, 127)
+        acc = jax.lax.dot_general(
+            h, blk["pw_project_w"], (((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        x = jnp.clip(_tdiv_f32(acc, bs.s_project), -127, 127)
 
         if bs.is_dense:
             # Engine quirk, reproduced for bit parity: the evaluator assumes
@@ -381,9 +402,12 @@ def etiny_engine_forward(
                 x.shape[0], in_h, in_w, out_c
             )
 
-    # Global average pool: int32 sum, truncating mean, clamp (cpp:1452-1463).
+    # Global average pool: int32 sum, truncating int mean, clamp
+    # (cpp:1452-1463). hw is not a power of two in general, so the mean
+    # uses true integer division.
     hw = x.shape[1] * x.shape[2]
-    pooled = jnp.clip(_tdiv(x.sum(axis=(1, 2)), hw), -127, 127)
+    pooled_sum = x.sum(axis=(1, 2)).astype(jnp.int32)
+    pooled = jnp.clip(_tdiv(pooled_sum, hw), -127, 127)
 
     # Classifier: float output acc/scale (cpp:1028-1040).
     out = _dot_i8(pooled.astype(jnp.int8), params["cls_w"]) + params["cls_b"]

@@ -1,0 +1,68 @@
+"""Mesh construction + sharding helpers.
+
+The reference has no multi-device support at all (SURVEY.md §2.15: single
+`model.to(device)`). Here scale-out is native: a 1-D `Mesh` over all chips
+with a `data` axis; batches are sharded along it, params replicated, and
+GSPMD inserts the gradient `psum` over ICI when the jitted train step runs.
+The axis layout is written so extra axes (e.g. a `model` axis for tensor
+parallelism) can be appended without touching call sites — helpers accept
+an `axes` tuple.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, axes: Tuple[str, ...] = (DATA_AXIS,)
+) -> Mesh:
+    """1-D (or reshaped n-D) mesh over the first `n_devices` devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested {n_devices} devices, have {len(devices)}"
+            )
+        devices = devices[:n_devices]
+    shape = (len(devices),) if len(axes) == 1 else None
+    if shape is None:
+        # Fill trailing axes with 1 so a single mesh literal supports
+        # future tp/pp axes without reshaping call sites.
+        shape = (len(devices),) + (1,) * (len(axes) - 1)
+    return Mesh(np.array(devices).reshape(shape), axes)
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = DATA_AXIS):
+    """Place array leaves with the leading dim sharded over `axis`."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate a pytree over the mesh (params, opt state)."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree
+    )
+
+
+def pad_batch_to_devices(batch, n_devices: int):
+    """Zero-pad the leading dim so it divides the data axis (host helper)."""
+    def pad(x):
+        b = x.shape[0]
+        rem = (-b) % n_devices
+        if rem == 0:
+            return x
+        pad_width = [(0, rem)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(x, pad_width)
+
+    return jax.tree_util.tree_map(pad, batch)

@@ -1,0 +1,267 @@
+"""The training loop: train_model(config, model_type).
+
+Upstream workflow parity (train.py:257-454): run tracker init + early-log
+replay, data loaders, model build from config, optimizer, fail-fast C++
+engine pre-compile + inference test, per-batch CE training with grad clip,
+per-epoch float eval on train+val, per-epoch compiled (int8 engine
+arithmetic) eval on val, identical metric keys (train/loss,
+train/epoch_*, val/*, compiled/*, test/*), best-val-F1 checkpointing,
+final test eval, cloud auto-stop unless keep_alive.
+
+TPU redesign:
+* the whole step (augment → normalize → forward → backward → update) is
+  one jitted graph; batches are sharded over the data mesh when more than
+  one device is visible, params replicated (GSPMD inserts the grad psum).
+* per-epoch compiled metrics come from the bit-exact TPU int8 simulation
+  (one device launch) rather than upstream's subprocess-per-image loop;
+  the real engine binary is still exercised once at startup (fail-fast)
+  and in `compiled_backend="engine"` mode.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+from nnue_vision_tpu.data.augment import preprocess_batch
+from nnue_vision_tpu.data.loaders import create_data_loaders
+from nnue_vision_tpu.models.etinynet import (
+    EtinyNetConfig,
+    etinynet_apply,
+    etinynet_init,
+)
+from nnue_vision_tpu.models.nnue import GridFeatureSet, NNUEConfig, nnue_init
+from nnue_vision_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from nnue_vision_tpu.training import checkpoint as ckpt
+from nnue_vision_tpu.training.engine_build import (
+    build_sanitizer_engine,
+    compile_cpp_engine,
+    smoke_test_sanitizer_engine,
+)
+from nnue_vision_tpu.training.evaluate import (
+    evaluate_compiled_model,
+    evaluate_int8_sim,
+    evaluate_model,
+)
+from nnue_vision_tpu.training.logging import early_log, init_run, replay_early_logs
+from nnue_vision_tpu.training.optim import create_optimizer
+from nnue_vision_tpu.training.step import make_train_state, train_step
+
+
+def build_model(config: Any, model_type: str, rng: jax.Array):
+    """(params, batch_stats, model_cfg) from an executable config module."""
+    input_size = config.input_size
+    if isinstance(input_size, (tuple, list)):
+        input_size = input_size[0]
+    if model_type == "nnue":
+        model_cfg = NNUEConfig(
+            feature_set=GridFeatureSet(
+                grid_size=config.grid_size,
+                num_features_per_square=config.num_features_per_square,
+            ),
+            l1_size=config.l1_size,
+            l2_size=config.l2_size,
+            l3_size=config.l3_size,
+            num_classes=config.num_classes,
+            input_size=input_size,
+            qat=getattr(config, "qat", False),
+        )
+        params = nnue_init(rng, model_cfg)
+        return params, None, model_cfg
+    if model_type == "etinynet":
+        model_cfg = EtinyNetConfig(
+            variant=config.etinynet_variant,
+            num_classes=config.num_classes,
+            input_size=input_size,
+            use_asq=getattr(config, "use_asq", False),
+            asq_bits=getattr(config, "asq_bits", 4),
+        )
+        params, stats = etinynet_init(rng, model_cfg)
+        return params, stats, model_cfg
+    raise ValueError(f"unknown model type: {model_type}")
+
+
+def stop_cloud(reason: str = "") -> None:
+    """Best-effort cloud instance stop (upstream stop_runpod, train.py:450-453)."""
+    try:
+        from nnue_vision_tpu.cloud.launcher import stop_instance
+
+        stop_instance(reason=reason)
+    except Exception as e:  # never let shutdown errors mask training results
+        early_log(f"cloud stop failed (ignored): {e}")
+
+
+def train_model(
+    config: Any, model_type: str, wandb_run_id: Optional[str] = None
+) -> int:
+    devices = jax.devices()
+    early_log(f"Using {len(devices)} device(s): {devices[0].platform}")
+
+    run_cfg = {k: v for k, v in vars(config).items() if not k.startswith("__")}
+    run = init_run(
+        getattr(config, "project_name", "nnue_vision_tpu"),
+        run_cfg,
+        run_id=wandb_run_id,
+        log_dir=getattr(config, "log_dir", "logs"),
+    )
+    early_log(f"Run: {run.name} ({run.url})")
+    replay_early_logs()
+
+    manager = ckpt.CheckpointManager(
+        getattr(config, "log_dir", "logs"), run.name, run=run
+    )
+
+    train_loader, val_loader, test_loader = create_data_loaders(
+        dataset_name=getattr(config, "dataset_name", "cifar10"),
+        batch_size=config.batch_size,
+        num_workers=getattr(config, "num_workers", 0),
+        target_size=None,
+        max_samples_per_split=getattr(config, "max_samples_per_split", None),
+        subset=getattr(config, "subset", 1.0),
+        use_augmentation=getattr(config, "use_augmentation", True),
+        augmentation_strength=getattr(config, "augmentation_strength", "medium"),
+        seed=getattr(config, "seed", 42),
+    )
+    if train_loader.dataset.is_synthetic:
+        early_log("NOTE: dataset not found on disk — training on synthetic data")
+
+    rng = jax.random.PRNGKey(getattr(config, "seed", 42))
+    rng, init_key = jax.random.split(rng)
+    params, batch_stats, model_cfg = build_model(config, model_type, init_key)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+    early_log(f"Model: {model_type}, parameters: {n_params:,}")
+
+    steps_per_epoch = max(1, len(train_loader))
+    optimizer = create_optimizer(config, steps_per_epoch)
+    state = make_train_state(params, optimizer, batch_stats)
+
+    mesh = make_mesh() if len(devices) > 1 else None
+    if mesh is not None:
+        state = replicate(mesh, state)
+        early_log(f"Data-parallel over mesh {mesh}")
+
+    # Fail-fast: the deployment engine must build and evaluate BEFORE
+    # training starts (upstream train.py:323-347). Skippable for
+    # environments without a toolchain via NV_SKIP_ENGINE=1.
+    compiled_backend = getattr(config, "compiled_backend", "sim")
+    if os.environ.get("NV_SKIP_ENGINE") != "1":
+        compile_cpp_engine(model_type)
+        if os.environ.get("NNUE_SANITIZER_SMOKE", "0") == "1":
+            build_sanitizer_engine()
+            smoke_test_sanitizer_engine(model_type)
+        early_log("Testing C++ engine inference with current weights...")
+        probe = [
+            (train_loader.dataset.images[:4], train_loader.dataset.labels[:4])
+        ]
+        engine_metrics = evaluate_compiled_model(
+            state.params, state.batch_stats, probe,
+            model_type=model_type, model_cfg=model_cfg,
+        )
+        early_log(
+            f"Engine OK: f1={engine_metrics['f1']:.4f} "
+            f"{engine_metrics['ms_per_sample']:.2f} ms/sample"
+        )
+    else:
+        compiled_backend = "sim"
+
+    use_aug = getattr(config, "use_augmentation", True)
+    strength = getattr(config, "augmentation_strength", "medium")
+    max_epochs = getattr(config, "max_epochs", 1)
+    best_val_f1 = 0.0
+
+    try:
+        for epoch in range(max_epochs):
+            epoch_start = time.perf_counter()
+            losses = []
+            for batch_idx, (images, labels) in enumerate(train_loader):
+                rng, aug_key = jax.random.split(rng)
+                if mesh is not None:
+                    images, labels = shard_batch(mesh, (images, labels))
+                x = preprocess_batch(
+                    aug_key, images, strength=strength, augment=use_aug
+                )
+                state, metrics = train_step(
+                    state, x, labels,
+                    model_type=model_type, model_cfg=model_cfg,
+                    optimizer=optimizer,
+                )
+                loss = float(metrics["loss"])
+                losses.append(loss)
+                run.log(
+                    {"train/loss": loss},
+                    step=epoch * steps_per_epoch + batch_idx,
+                )
+
+            train_loss, train_metrics = evaluate_model(
+                state.params, state.batch_stats, train_loader,
+                model_type=model_type, model_cfg=model_cfg,
+            )
+            val_loss, val_metrics = evaluate_model(
+                state.params, state.batch_stats, val_loader,
+                model_type=model_type, model_cfg=model_cfg,
+            )
+            if compiled_backend == "engine":
+                compiled_metrics = evaluate_compiled_model(
+                    state.params, state.batch_stats, val_loader,
+                    model_type=model_type, model_cfg=model_cfg,
+                )
+            else:
+                compiled_metrics = evaluate_int8_sim(
+                    state.params, state.batch_stats, val_loader,
+                    model_type=model_type, model_cfg=model_cfg,
+                )
+
+            log_data = {
+                "train/epoch_loss": train_loss,
+                "train/epoch_f1": train_metrics["f1"],
+                "train/epoch_accuracy": train_metrics["acc"],
+                "val/loss": val_loss,
+                "val/f1": val_metrics["f1"],
+                "val/accuracy": val_metrics["acc"],
+                "compiled/f1": compiled_metrics["f1"],
+                "compiled/accuracy": compiled_metrics["acc"],
+                "compiled/ms_per_sample": compiled_metrics.get("ms_per_sample", 0.0),
+                "compiled/latent_density": compiled_metrics.get("latent_density", 0.0),
+            }
+            run.log(log_data, step=(epoch + 1) * steps_per_epoch - 1)
+            early_log(
+                f"Epoch {epoch + 1}/{max_epochs} [{time.perf_counter() - epoch_start:.1f}s] - "
+                f"train loss {train_loss:.4f} f1 {train_metrics['f1']:.4f} | "
+                f"val loss {val_loss:.4f} f1 {val_metrics['f1']:.4f} acc {val_metrics['acc']:.4f} | "
+                f"compiled f1 {compiled_metrics['f1']:.4f} "
+                f"acc {compiled_metrics['acc']:.4f} "
+                f"density {compiled_metrics.get('latent_density', 0.0):.4f}"
+            )
+
+            if val_metrics["f1"] > best_val_f1:
+                best_val_f1 = val_metrics["f1"]
+                manager.save_best(
+                    model_type=model_type,
+                    model_config=model_cfg,
+                    params=state.params,
+                    batch_stats=state.batch_stats,
+                    opt_state=state.opt_state,
+                    epoch=epoch,
+                    metrics={"val_f1": val_metrics["f1"], "val_loss": val_loss},
+                    config_name=getattr(config, "name", ""),
+                )
+
+        test_loss, test_metrics = evaluate_model(
+            state.params, state.batch_stats, test_loader,
+            model_type=model_type, model_cfg=model_cfg,
+        )
+        run.log({"test/f1": test_metrics["f1"], "test/loss": test_loss})
+        early_log(
+            f"Test: loss {test_loss:.4f} f1 {test_metrics['f1']:.4f} "
+            f"acc {test_metrics['acc']:.4f}"
+        )
+    finally:
+        run.finish()
+        if not getattr(config, "keep_alive", False):
+            stop_cloud("training finished")
+
+    return 0

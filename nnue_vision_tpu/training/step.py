@@ -1,0 +1,102 @@
+"""The jitted train/eval steps for both model families.
+
+Pure functions over a TrainState pytree; one `jax.jit` each, shardable
+over a data mesh (params replicated, batch sharded — GSPMD inserts the
+gradient psum). Loss is cross-entropy like the reference (train.py:250-254;
+its LossParams dataclass is declared but unused there — kept in the model
+config for capability parity).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from nnue_vision_tpu.models.etinynet import EtinyNetConfig, etinynet_apply
+from nnue_vision_tpu.models.nnue import NNUEConfig, nnue_apply, nnue_clip_weights
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    batch_stats: Any  # None for NNUE
+    step: jnp.ndarray
+
+
+def make_train_state(params, optimizer, batch_stats=None) -> TrainState:
+    return TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        batch_stats=batch_stats,
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _loss_and_logits(model_type, model_cfg, params, batch_stats, images, labels):
+    if model_type == "nnue":
+        logits = nnue_apply(params, images, model_cfg)
+        new_stats = batch_stats
+    else:
+        logits, new_stats = etinynet_apply(
+            params, batch_stats, images, model_cfg, train=True
+        )
+    loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+    return loss, (logits, new_stats)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model_type", "model_cfg", "optimizer", "clip_weights")
+)
+def train_step(
+    state: TrainState,
+    images: jnp.ndarray,
+    labels: jnp.ndarray,
+    *,
+    model_type: str,
+    model_cfg,
+    optimizer: optax.GradientTransformation,
+    clip_weights: bool = True,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One optimizer step. Returns (new_state, {"loss", "accuracy"})."""
+    (loss, (logits, new_stats)), grads = jax.value_and_grad(
+        _loss_and_logits, argnums=2, has_aux=True
+    )(model_type, model_cfg, state.params, state.batch_stats, images, labels)
+
+    updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    if model_type == "nnue" and clip_weights:
+        # The reference clips FT/classifier weights to [-1,1] before every
+        # serialization — which its train loop triggers every epoch via
+        # compiled eval (evaluate.py:122-129 → nnue.py:528-539, mutating the
+        # live model). We apply the clip each step: keeps training inside
+        # the quantizable region instead of sawtooth-clipping once an epoch.
+        new_params = nnue_clip_weights(new_params)
+
+    acc = (logits.argmax(axis=-1) == labels).mean()
+    return (
+        TrainState(new_params, new_opt_state, new_stats, state.step + 1),
+        {"loss": loss, "accuracy": acc},
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("model_type", "model_cfg"))
+def eval_step(
+    params,
+    batch_stats,
+    images: jnp.ndarray,
+    labels: jnp.ndarray,
+    *,
+    model_type: str,
+    model_cfg,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (summed CE loss over batch, logits)."""
+    if model_type == "nnue":
+        logits = nnue_apply(params, images, model_cfg)
+    else:
+        logits, _ = etinynet_apply(params, batch_stats, images, model_cfg, train=False)
+    loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels).sum()
+    return loss, logits

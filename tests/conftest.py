@@ -9,13 +9,19 @@ import os
 import subprocess
 from pathlib import Path
 
-# Must happen before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must happen before any jax backend initializes. NOTE: this machine pins
+# JAX_PLATFORMS=axon in the environment and the env var alone does not win;
+# the in-process config update does.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Training CLI for NNUE and EtinyNet models.
+
+Flag surface parity with the upstream trainer (train.py:474-566 upstream):
+positional model_type ∈ {nnue, etinynet}, --config, --batch_size,
+--max_epochs, --learning_rate, --note, --wandb_api_key, --wandb-run-id,
+--log_dir, --use_augmentation, --augmentation_strength, --etinynet_variant,
+--dataset_name, --num_classes. Upstream hard-requires WANDB_API_KEY
+(train.py:577-580); here a missing key falls back to local run tracking so
+air-gapped training works (set NV_REQUIRE_WANDB=1 to restore the hard
+requirement).
+"""
+
+import argparse
+import os
+import sys
+
+from config import ConfigError, load_config
+from nnue_vision_tpu.training.logging import early_log
+
+
+def setup_argument_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Train NNUE and EtinyNet models")
+    parser.add_argument("model_type", choices=["nnue", "etinynet"],
+                        help="Model type to train")
+    parser.add_argument("--config", type=str, help="Path to the configuration file")
+    parser.add_argument("--batch_size", type=int, help="Override batch size")
+    parser.add_argument("--max_epochs", type=int, help="Override max epochs")
+    parser.add_argument("--learning_rate", type=float, help="Override learning rate")
+    parser.add_argument("--note", type=str, help="Note to add to the run")
+    parser.add_argument("--wandb_api_key", type=str, help="W&B API key")
+    parser.add_argument("--wandb-run-id", type=str, help="Resume a specific run id")
+    parser.add_argument("--log_dir", type=str, default="logs",
+                        help="Directory for logs and checkpoints")
+    parser.add_argument("--use_augmentation", type=lambda x: x.lower() == "true",
+                        help="Enable data augmentation (true/false)")
+    parser.add_argument("--augmentation_strength",
+                        choices=["light", "medium", "heavy"],
+                        help="Augmentation strength")
+    parser.add_argument("--etinynet_variant", type=str,
+                        choices=["0.75", "1.0", "0.98M", "micro"],
+                        help="EtinyNet variant")
+    parser.add_argument("--dataset_name", type=str,
+                        choices=["cifar10", "cifar100", "imagenet", "synthetic"],
+                        help="Dataset to use")
+    parser.add_argument("--num_classes", type=int, help="Number of classes")
+    return parser
+
+
+def load_and_setup_config(args: argparse.Namespace, model_type: str):
+    if args.config is None:
+        args.config = f"config/train_{model_type}_default.py"
+    early_log(f"Loading configuration: {args.config}")
+    config = load_config(args.config)
+    early_log(f"Configuration loaded: {config.name}")
+
+    for attr in ("batch_size", "max_epochs", "learning_rate", "note",
+                 "use_augmentation", "augmentation_strength", "num_classes",
+                 "dataset_name", "etinynet_variant"):
+        value = getattr(args, attr, None)
+        if value is not None:
+            setattr(config, attr, value)
+    if args.log_dir:
+        config.log_dir = args.log_dir
+    return config
+
+
+def main() -> int:
+    parser = setup_argument_parser()
+    args = parser.parse_args()
+
+    if args.wandb_api_key:
+        os.environ["WANDB_API_KEY"] = args.wandb_api_key
+    if os.environ.get("NV_REQUIRE_WANDB") == "1" and not os.getenv("WANDB_API_KEY"):
+        early_log("Error: WANDB_API_KEY required (NV_REQUIRE_WANDB=1)")
+        return 1
+
+    try:
+        config = load_and_setup_config(args, args.model_type)
+    except ConfigError as e:
+        early_log(f"Error loading configuration: {e}")
+        return 1
+
+    from nnue_vision_tpu.training.loop import stop_cloud, train_model
+
+    try:
+        return train_model(config, args.model_type, wandb_run_id=args.wandb_run_id)
+    except Exception as e:
+        early_log(f"Unhandled exception in training: {e}")
+        if not getattr(config, "keep_alive", False):
+            stop_cloud("training crashed")
+        raise
+
+
+if __name__ == "__main__":
+    sys.exit(main())
