@@ -139,10 +139,23 @@ def train_model(
     optimizer = create_optimizer(config, steps_per_epoch)
     state = make_train_state(params, optimizer, batch_stats)
 
-    mesh = make_mesh() if len(devices) > 1 else None
-    if mesh is not None:
-        state = replicate(mesh, state)
-        early_log(f"Data-parallel over mesh {mesh}")
+    # Data-parallel mesh sized to the largest device count that divides the
+    # (drop_last) train batch, so every shard is equal — no padding, no
+    # masked-loss complications.
+    mesh = None
+    if len(devices) > 1:
+        n = len(devices)
+        while n > 1 and config.batch_size % n != 0:
+            n -= 1
+        if n > 1:
+            mesh = make_mesh(n)
+            state = replicate(mesh, state)
+            early_log(f"Data-parallel over {n} devices")
+        else:
+            early_log(
+                f"batch_size {config.batch_size} not divisible by any "
+                f"device count ≤ {len(devices)}; running single-device"
+            )
 
     # Fail-fast: the deployment engine must build and evaluate BEFORE
     # training starts (upstream train.py:323-347). Skippable for

@@ -19,7 +19,12 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def build_model(args):
+def parse_arguments(argv=None):
+    """Standalone arg parsing (upstream script surface)."""
+    return _build_parser().parse_args(argv)
+
+
+def load_model(args):
     from nnue_vision_tpu.models.api import NNUE
     from nnue_vision_tpu.models.nnue import GridFeatureSet
 
@@ -49,7 +54,7 @@ def build_model(args):
     )
 
 
-def main() -> int:
+def _build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="MCU/TinyML benchmark runner")
     parser.add_argument("--checkpoint", type=str, help="trained checkpoint (.ckpt)")
     parser.add_argument("--dataset", default="cifar10")
@@ -69,7 +74,11 @@ def main() -> int:
     parser.add_argument("--l3-size", type=int, default=32)
     parser.add_argument("--num-classes", type=int, default=10)
     parser.add_argument("--input-size", type=int, default=32)
-    args = parser.parse_args()
+    return parser
+
+
+def main() -> int:
+    args = parse_arguments()
 
     from benchmarks import (
         MCU_SPECS,
@@ -90,7 +99,7 @@ def main() -> int:
         binary_classification=binary,
     )
 
-    model = build_model(args)
+    model = load_model(args)
     print(f"Model: {model.count_parameters():,} parameters")
 
     results = run_mcu_benchmark(

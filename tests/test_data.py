@@ -1,0 +1,156 @@
+"""Data pipeline tests: datasets, loaders, on-device augmentation.
+
+Covers the upstream policies (val==test split, augmentation only on train,
+max_samples-then-subset order; tests/test_augmentation_validation.py
+upstream) plus the new device-side augmentation graph.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from nnue_vision_tpu.data.augment import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    augment_batch,
+    normalize_images,
+    preprocess_batch,
+)
+from nnue_vision_tpu.data.datasets import (
+    AVAILABLE_DATASETS,
+    GenericVisionDataset,
+    get_dataset_info,
+)
+from nnue_vision_tpu.data.loaders import (
+    ArrayLoader,
+    calculate_dataset_statistics,
+    create_data_loaders,
+)
+
+
+def test_registry():
+    info = get_dataset_info("cifar10")
+    assert info["num_classes"] == 10
+    assert len(info["classes"]) == 10
+    assert "airplane" in info["classes"]
+    with pytest.raises(ValueError):
+        get_dataset_info("not_a_dataset")
+
+
+def test_synthetic_dataset_deterministic():
+    a = GenericVisionDataset("cifar10", split="train", synthetic_size=32, seed=1)
+    b = GenericVisionDataset("cifar10", split="train", synthetic_size=32, seed=1)
+    np.testing.assert_array_equal(a.images, b.images)
+    np.testing.assert_array_equal(a.labels, b.labels)
+    # different split → different data
+    c = GenericVisionDataset("cifar10", split="test", synthetic_size=32, seed=1)
+    assert not np.array_equal(a.images[: len(c.images)], c.images)
+
+
+def test_dataset_shapes_and_range():
+    ds = GenericVisionDataset("cifar10", split="train", synthetic_size=16)
+    assert ds.images.shape == (16, 32, 32, 3)
+    assert ds.images.dtype == np.float32
+    assert 0.0 <= ds.images.min() and ds.images.max() <= 1.0
+    img, label = ds[0]
+    assert img.shape == (32, 32, 3)
+    assert isinstance(label, int)
+    with pytest.raises(IndexError):
+        _ = ds[100]
+
+
+def test_max_samples_then_subset_order():
+    ds = GenericVisionDataset("cifar10", split="train", synthetic_size=100,
+                              max_samples=50, subset=0.5)
+    assert len(ds) == 25  # 100 → 50 (max) → 25 (subset)
+
+
+def test_binary_classification_remap():
+    ds = GenericVisionDataset(
+        "cifar10", split="train", synthetic_size=64,
+        binary_classification={"positive_classes": ["airplane", "bird"]},
+    )
+    assert ds.num_classes == 2
+    assert ds.class_names == ["negative", "positive"]
+    assert set(np.unique(ds.labels)).issubset({0, 1})
+
+
+def test_loader_policies():
+    train, val, test = create_data_loaders(
+        dataset_name="cifar10", batch_size=8, max_samples_per_split=20,
+        use_augmentation=True,
+    )
+    # augmentation only on train
+    assert train.dataset.use_augmentation
+    assert not val.dataset.use_augmentation and not test.dataset.use_augmentation
+    # val and test read the same split
+    np.testing.assert_array_equal(val.dataset.images, test.dataset.images)
+    # drop_last on train only: 20 samples / 8 → 2 train batches, 3 eval
+    assert len(train) == 2 and len(val) == 3
+    batches = list(train)
+    assert all(b[0].shape[0] == 8 for b in batches)
+
+
+def test_loader_shuffle_changes_per_epoch():
+    ds = GenericVisionDataset("cifar10", split="train", synthetic_size=32)
+    loader = ArrayLoader(ds, batch_size=32, shuffle=True, seed=0)
+    first = next(iter(loader))[1].copy()
+    second = next(iter(loader))[1].copy()
+    assert not np.array_equal(first, second)  # reshuffled across epochs
+    # but deterministic across loader instances with the same seed
+    loader2 = ArrayLoader(ds, batch_size=32, shuffle=True, seed=0)
+    np.testing.assert_array_equal(first, next(iter(loader2))[1])
+
+
+def test_dataset_statistics():
+    ds = GenericVisionDataset("cifar10", split="test", synthetic_size=32)
+    stats = calculate_dataset_statistics(ArrayLoader(ds, batch_size=16))
+    assert stats["batch_size"] == 16
+    assert stats["image_shape"] == (32, 32, 3)
+    assert 0.0 <= stats["image_min"] <= stats["image_max"] <= 1.0
+    assert sum(stats["label_distribution"].values()) == 16
+
+
+def test_normalize_images():
+    x = np.full((2, 4, 4, 3), 0.5, np.float32)
+    y = np.asarray(normalize_images(x))
+    expected = (0.5 - np.array(IMAGENET_MEAN)) / np.array(IMAGENET_STD)
+    np.testing.assert_allclose(y[0, 0, 0], expected, rtol=1e-6)
+
+
+@pytest.mark.parametrize("strength", ["light", "medium", "heavy"])
+def test_augment_batch_properties(rng, strength):
+    images = rng.random((8, 16, 16, 3), dtype=np.float32).astype(np.float32)
+    key = jax.random.PRNGKey(0)
+    out = np.asarray(augment_batch(key, images, strength))
+    assert out.shape == images.shape
+    assert np.all(np.isfinite(out))
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    # deterministic for a fixed key
+    out2 = np.asarray(augment_batch(key, images, strength))
+    np.testing.assert_array_equal(out, out2)
+    # different keys → different result (with overwhelming probability)
+    out3 = np.asarray(augment_batch(jax.random.PRNGKey(1), images, strength))
+    assert not np.array_equal(out, out3)
+
+
+def test_augment_changes_some_samples(rng):
+    images = rng.random((16, 16, 16, 3), dtype=np.float32).astype(np.float32)
+    out = np.asarray(augment_batch(jax.random.PRNGKey(2), images, "medium"))
+    changed = [not np.array_equal(out[i], images[i]) for i in range(16)]
+    assert any(changed)
+
+
+def test_preprocess_no_augment_is_pure_normalize(rng):
+    images = rng.random((4, 16, 16, 3), dtype=np.float32).astype(np.float32)
+    out = preprocess_batch(jax.random.PRNGKey(0), images,
+                           strength="heavy", augment=False)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(normalize_images(images)), rtol=1e-6
+    )
+
+
+def test_bad_strength_rejected(rng):
+    images = rng.random((2, 8, 8, 3), dtype=np.float32).astype(np.float32)
+    with pytest.raises(ValueError):
+        augment_batch(jax.random.PRNGKey(0), images, "extreme")
