@@ -199,18 +199,37 @@ def nnue_apply(
     ft = features @ params["ft_w"].astype(dtype) + params["ft_b"].astype(dtype)
 
     if cfg.qat:
-        # Engine applies a clipped ReLU to [0, 127] on the int16 accumulator
-        # (nnue_engine.cpp:726-729); in float that is [0, ~1] after /127.
-        # Training with the same clamp removes train/int8 range skew.
-        ft = jnp.clip(ft, 0.0, 1.0)
-
-    # Pairwise feature interaction (nnue.py:660-666).
-    half = cfg.l1_size // 2
-    a, bb = ft[:, :half], ft[:, half:]
-    l0 = jnp.concatenate([a * bb, a], axis=1)
-
-    h1 = jax.nn.relu(l0 @ params["fc1_w"].T.astype(dtype) + params["fc1_b"].astype(dtype))
-    h2 = jax.nn.relu(h1 @ params["fc2_w"].T.astype(dtype) + params["fc2_b"].astype(dtype))
+        # Quantization-aware clamps: train inside exactly the dynamic range
+        # the int8 engine can represent under the faithful serialization
+        # scheme (see nnue_quantize). FT accumulator is int16 clipped to
+        # [0, 127] at scale 64 → float [0, 127/64]; pairwise products are
+        # stored at scale 32 → clamp at 127/32; hidden activations are int8
+        # [0, 127] at scale 64.
+        ft = jnp.clip(ft, 0.0, 127.0 / 64.0)
+        half = cfg.l1_size // 2
+        a, bb = ft[:, :half], ft[:, half:]
+        prod = jnp.clip(a * bb, 0.0, 127.0 / 32.0)
+        l0 = jnp.concatenate([prod, a], axis=1)
+        h1 = jnp.clip(
+            l0 @ params["fc1_w"].T.astype(dtype) + params["fc1_b"].astype(dtype),
+            0.0, 127.0 / 64.0,
+        )
+        h2 = jnp.clip(
+            h1 @ params["fc2_w"].T.astype(dtype) + params["fc2_b"].astype(dtype),
+            0.0, 127.0 / 64.0,
+        )
+    else:
+        # Reference float semantics (nnue.py:660-666): unclamped pairwise +
+        # plain ReLU classifier.
+        half = cfg.l1_size // 2
+        a, bb = ft[:, :half], ft[:, half:]
+        l0 = jnp.concatenate([a * bb, a], axis=1)
+        h1 = jax.nn.relu(
+            l0 @ params["fc1_w"].T.astype(dtype) + params["fc1_b"].astype(dtype)
+        )
+        h2 = jax.nn.relu(
+            h1 @ params["fc2_w"].T.astype(dtype) + params["fc2_b"].astype(dtype)
+        )
     logits = h2 @ params["out_w"].T.astype(dtype) + params["out_b"].astype(dtype)
     logits = logits.astype(jnp.float32)
 
@@ -241,12 +260,41 @@ def nnue_clip_weights(params: Dict) -> Dict:
 def nnue_quantize(params: Dict, cfg: NNUEConfig) -> QuantizedNNUE:
     """float params → engine-domain QuantizedNNUE (serialize-ready).
 
-    Scheme identical to the reference (serialize.py:210-239 + nnue.py:541-588):
-    scale 64 everywhere, weights clipped to [-1,1] then round·clamp ±127,
-    FT weights stored int16, visual_threshold serialized as the channel mean.
+    ENGINE-FAITHFUL scheme. The engine's multiclass head mixes value scales
+    across its inputs (pairwise products carry scale 32 = 64·64/128, linear
+    passthrough 64 — nnue_engine.cpp:493-499 — and biases are added raw to
+    the accumulator). The reference serializer ignores this (uniform 64,
+    serialize.py:210-239), so its engine computes a DIFFERENT function than
+    the trained model — the root cause of its approximate parity. Here the
+    format's free parameters absorb the scales so the engine reproduces the
+    float model up to rounding:
+
+      FT:  ŵ = round(64w), b̂ = round(64b)                  (value scale 64)
+      fc1: product columns at 64, linear columns at 32,
+           b̂ = round(2048·b), file scale 32
+           → ĥ1 = clamp(64·h1) exactly
+      fc2: ŵ = round(64w), b̂ = round(4096·b), file scale 64
+      out: ŵ = round(64w), b̂ = round(4096·b), file scale 4096
+           → logits = acc/4096 equals the float logits up to rounding
+
+    Weights are clipped to [-1,1] first (reference behavior, nnue.py:528);
+    visual_threshold serializes as the channel mean (nnue.py:556-558).
+    Train with cfg.qat=True so activations already live inside the clamped
+    ranges these scales imply.
     """
     p = jax.device_get(params)
     fs = cfg.feature_set
+    half = cfg.l1_size // 2
+
+    fc1_w = clip_unit(p["fc1_w"])
+    fc1_q = np.concatenate(
+        [
+            quantize_weight_i8(fc1_w[:, :half], scale=64.0),
+            quantize_weight_i8(fc1_w[:, half:], scale=32.0),
+        ],
+        axis=1,
+    )
+
     return QuantizedNNUE(
         grid_size=fs.grid_size,
         num_features_per_square=fs.num_features_per_square,
@@ -264,16 +312,19 @@ def nnue_quantize(params: Dict, cfg: NNUEConfig) -> QuantizedNNUE:
             bias=quantize_bias_i32(p["ft_b"]),
         ),
         fc1=QLinear(
-            weight=quantize_weight_i8(clip_unit(p["fc1_w"])),
-            bias=quantize_bias_i32(p["fc1_b"]),
+            weight=fc1_q,
+            bias=quantize_bias_i32(p["fc1_b"], scale=2048.0),
+            scale=32.0,
         ),
         fc2=QLinear(
             weight=quantize_weight_i8(clip_unit(p["fc2_w"])),
-            bias=quantize_bias_i32(p["fc2_b"]),
+            bias=quantize_bias_i32(p["fc2_b"], scale=4096.0),
+            scale=64.0,
         ),
         out=QLinear(
             weight=quantize_weight_i8(clip_unit(p["out_w"])),
-            bias=quantize_bias_i32(p["out_b"]),
+            bias=quantize_bias_i32(p["out_b"], scale=4096.0),
+            scale=4096.0,
         ),
     ).validate()
 
@@ -288,6 +339,11 @@ def nnue_from_quantized(q: QuantizedNNUE) -> Tuple[Dict, NNUEConfig]:
         num_classes=q.num_classes,
     )
     s = QUANT_SCALE
+    half = q.l1 // 2
+    fc1 = np.asarray(q.fc1.weight, np.float32)
+    # invert the faithful column scaling (see nnue_quantize): product
+    # columns at 64, linear columns at 32
+    fc1_w = np.concatenate([fc1[:, :half] / 64.0, fc1[:, half:] / 32.0], axis=1)
     params = {
         "conv_w": jnp.asarray(q.conv.weight, jnp.float32) / s,
         "visual_threshold": jnp.full(
@@ -295,12 +351,12 @@ def nnue_from_quantized(q: QuantizedNNUE) -> Tuple[Dict, NNUEConfig]:
         ),
         "ft_w": jnp.asarray(q.ft.weight, jnp.float32) / s,
         "ft_b": jnp.asarray(q.ft.bias, jnp.float32) / s,
-        "fc1_w": jnp.asarray(q.fc1.weight, jnp.float32) / s,
-        "fc1_b": jnp.asarray(q.fc1.bias, jnp.float32) / s,
+        "fc1_w": jnp.asarray(fc1_w),
+        "fc1_b": jnp.asarray(q.fc1.bias, jnp.float32) / 2048.0,
         "fc2_w": jnp.asarray(q.fc2.weight, jnp.float32) / s,
-        "fc2_b": jnp.asarray(q.fc2.bias, jnp.float32) / s,
+        "fc2_b": jnp.asarray(q.fc2.bias, jnp.float32) / 4096.0,
         "out_w": jnp.asarray(q.out.weight, jnp.float32) / s,
-        "out_b": jnp.asarray(q.out.bias, jnp.float32) / s,
+        "out_b": jnp.asarray(q.out.bias, jnp.float32) / 4096.0,
         "nnue2score": jnp.float32(q.nnue2score),
     }
     return params, cfg

@@ -100,6 +100,14 @@ def train_model(
 ) -> int:
     devices = jax.devices()
     early_log(f"Using {len(devices)} device(s): {devices[0].platform}")
+    # Pay the backend's one-time device→host transfer initialization now,
+    # visibly, instead of mid-training (on tunneled TPU backends the first
+    # d2h can take minutes while later ones are instant).
+    t0 = time.perf_counter()
+    np.asarray(jax.numpy.zeros(()))
+    warm = time.perf_counter() - t0
+    if warm > 1.0:
+        early_log(f"device→host transfer path initialized ({warm:.1f}s)")
 
     run_cfg = {k: v for k, v in vars(config).items() if not k.startswith("__")}
     run = init_run(

@@ -1,0 +1,51 @@
+"""Pallas fused-head kernel: bit-exactness vs the engine sim (and thereby
+the C++ engine). Runs in interpreter mode on CPU; the TPU-compiled path is
+exercised by bench.py on hardware."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nnue_vision_tpu.ops.engine_sim import nnue_engine_forward, nnue_sim_params
+from nnue_vision_tpu.ops.pallas_kernels import (
+    fused_nnue_head,
+    nnue_engine_forward_fused,
+    pallas_head_params,
+)
+from tests.conftest import random_quantized_nnue
+
+
+@pytest.mark.parametrize("grid,ch,h", [(4, 6, 12), (5, 4, 12)])
+def test_fused_forward_matches_engine_sim(rng, grid, ch, h):
+    q = random_quantized_nnue(rng, grid=grid, ch=ch, l1=16, l2=8, l3=4,
+                              num_classes=3)
+    params, cfg = nnue_sim_params(q)
+    head = pallas_head_params(params)
+    imgs = (rng.random((5, h, h, 3), dtype=np.float32) * 2 - 0.5).astype(
+        np.float32
+    )
+    ref_logits, ref_density, ref_count = nnue_engine_forward(
+        params, imgs, cfg=cfg, image_h=h, image_w=h
+    )
+    logits, density, count = nnue_engine_forward_fused(
+        params, head, imgs, cfg=cfg, image_h=h, image_w=h, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(logits), np.asarray(ref_logits))
+    np.testing.assert_array_equal(np.asarray(count), np.asarray(ref_count))
+
+
+def test_fused_head_batch_padding(rng):
+    """Batch sizes that don't divide the tile must round-trip unpadded."""
+    q = random_quantized_nnue(rng, grid=4, ch=4, l1=16, l2=8, l3=4,
+                              num_classes=3)
+    params, cfg = nnue_sim_params(q)
+    head = pallas_head_params(params)
+    buf = rng.integers(-127, 128, (3, q.num_features)).astype(np.float32)
+    logits, count = fused_nnue_head(
+        head, jnp.asarray(buf), cfg=cfg, tile_b=8, interpret=True
+    )
+    assert logits.shape == (3, 3)
+    assert count.shape == (3,)
+    # count equals the direct mask popcount
+    expected = (buf > q.visual_threshold).sum(axis=1)
+    np.testing.assert_array_equal(np.asarray(count), expected)
