@@ -146,23 +146,34 @@ def _load_cifar_from_disk(root: Path, name: str, train: bool):
     return images, np.concatenate(ys)
 
 
-def _synthetic_dataset(num_classes: int, size: Tuple[int, int], n: int, seed: int):
+def _synthetic_dataset(
+    num_classes: int, size: Tuple[int, int], n: int, seed: int,
+    class_seed: int = 1234,
+):
     """Deterministic class-conditional images: each class is a distinct
-    low-frequency pattern + noise, so models can actually learn from it."""
-    rng = np.random.default_rng(seed)
+    low-frequency pattern + per-sample noise and jitter.
+
+    The class patterns derive from `class_seed` ONLY (split-independent),
+    so a model trained on the train split generalizes to the test split;
+    `seed` drives the per-split sample draw (labels, noise, jitter).
+    """
+    crng = np.random.default_rng(class_seed + num_classes)
     h, w = size
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    freqs = crng.uniform(0.5, 3.0, (num_classes, 3, 2)).astype(np.float32)
+    phases = crng.uniform(0, 2 * np.pi, (num_classes, 3)).astype(np.float32)
+
+    rng = np.random.default_rng(seed)
     labels = rng.integers(0, num_classes, n).astype(np.int64)
-    freqs = rng.uniform(0.5, 3.0, (num_classes, 3, 2)).astype(np.float32)
-    phases = rng.uniform(0, 2 * np.pi, (num_classes, 3)).astype(np.float32)
     images = np.empty((n, h, w, 3), np.float32)
     for i, lab in enumerate(labels):
+        jitter = rng.uniform(-0.5, 0.5, 3).astype(np.float32)  # phase jitter
         base = np.stack(
             [
                 np.sin(
                     freqs[lab, c, 0] * 2 * np.pi * yy / h
                     + freqs[lab, c, 1] * 2 * np.pi * xx / w
-                    + phases[lab, c]
+                    + phases[lab, c] + jitter[c]
                 )
                 for c in range(3)
             ],

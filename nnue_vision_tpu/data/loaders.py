@@ -39,7 +39,10 @@ class ArrayLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    def iter_indices(self) -> Iterator[np.ndarray]:
+        """Per-batch index arrays (same shuffle/drop_last policy as
+        __iter__). Lets device-resident pipelines gather batches on the
+        accelerator instead of uploading pixels every step."""
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
@@ -51,6 +54,10 @@ class ArrayLoader:
             idx = order[start : start + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:
                 break
+            yield idx
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        for idx in self.iter_indices():
             yield self.dataset.images[idx], self.dataset.labels[idx]
 
 

@@ -58,6 +58,22 @@ DEFAULT_L3 = 32
 
 
 @dataclasses.dataclass(frozen=True)
+class LossParams:
+    """Score-space loss shaping constants (API parity with nnue.py:63-72
+    upstream, where the dataclass is declared but the trainer uses plain
+    cross-entropy — same here; kept for config compatibility)."""
+
+    in_offset: float = 270.0
+    out_offset: float = 270.0
+    in_scaling: float = 340.0
+    out_scaling: float = 380.0
+    start_lambda: float = 1.0
+    end_lambda: float = 1.0
+    pow_exp: float = 2.5
+    qp_asymmetry: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
 class GridFeatureSet:
     """Grid-based feature set (reference nnue.py:81-91)."""
 

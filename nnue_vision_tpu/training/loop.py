@@ -49,7 +49,11 @@ from nnue_vision_tpu.training.evaluate import (
 )
 from nnue_vision_tpu.training.logging import early_log, init_run, replay_early_logs
 from nnue_vision_tpu.training.optim import create_optimizer
-from nnue_vision_tpu.training.step import make_train_state, train_step
+from nnue_vision_tpu.training.step import (
+    gathered_train_step,
+    make_train_state,
+    train_step,
+)
 
 
 def build_model(config: Any, model_type: str, rng: jax.Array):
@@ -194,22 +198,53 @@ def train_model(
     max_epochs = getattr(config, "max_epochs", 1)
     best_val_f1 = 0.0
 
+    # Device-resident input pipeline: when the training set fits in HBM
+    # (and we're not sharding batches over a mesh), upload it ONCE and
+    # gather batches by index on device — per-step host traffic drops to a
+    # (B,) index vector.
+    device_data = None
+    ds = train_loader.dataset
+    dataset_bytes = ds.images.nbytes + ds.labels.nbytes
+    max_resident = int(getattr(config, "device_resident_max_bytes", 4 << 30))
+    if mesh is None and dataset_bytes <= max_resident:
+        device_data = (
+            jax.device_put(ds.images),
+            jax.device_put(ds.labels),
+        )
+        early_log(
+            f"training set resident on device ({dataset_bytes / 1e6:.1f} MB)"
+        )
+
     try:
         for epoch in range(max_epochs):
             epoch_start = time.perf_counter()
             losses = []
-            for batch_idx, (images, labels) in enumerate(train_loader):
+            if device_data is not None:
+                batch_iter = train_loader.iter_indices()
+            else:
+                batch_iter = train_loader
+            for batch_idx, batch in enumerate(batch_iter):
                 rng, aug_key = jax.random.split(rng)
-                if mesh is not None:
-                    images, labels = shard_batch(mesh, (images, labels))
-                x = preprocess_batch(
-                    aug_key, images, strength=strength, augment=use_aug
-                )
-                state, metrics = train_step(
-                    state, x, labels,
-                    model_type=model_type, model_cfg=model_cfg,
-                    optimizer=optimizer,
-                )
+                if device_data is not None:
+                    state, metrics = gathered_train_step(
+                        state, device_data[0], device_data[1],
+                        batch, aug_key,
+                        model_type=model_type, model_cfg=model_cfg,
+                        optimizer=optimizer, strength=strength,
+                        augment=use_aug,
+                    )
+                else:
+                    images, labels = batch
+                    if mesh is not None:
+                        images, labels = shard_batch(mesh, (images, labels))
+                    x = preprocess_batch(
+                        aug_key, images, strength=strength, augment=use_aug
+                    )
+                    state, metrics = train_step(
+                        state, x, labels,
+                        model_type=model_type, model_cfg=model_cfg,
+                        optimizer=optimizer,
+                    )
                 loss = float(metrics["loss"])
                 losses.append(loss)
                 run.log(

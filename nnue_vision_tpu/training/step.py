@@ -83,6 +83,43 @@ def train_step(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model_type", "model_cfg", "optimizer", "clip_weights", "strength",
+        "augment",
+    ),
+)
+def gathered_train_step(
+    state: TrainState,
+    device_images: jnp.ndarray,   # (N, H, W, 3) full dataset on device
+    device_labels: jnp.ndarray,   # (N,)
+    idx: jnp.ndarray,             # (B,) batch indices
+    key: jax.Array,
+    *,
+    model_type: str,
+    model_cfg,
+    optimizer: optax.GradientTransformation,
+    strength: str = "medium",
+    augment: bool = True,
+    clip_weights: bool = True,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """Device-resident input pipeline: gather batch by index → augment →
+    normalize → train step, all in ONE compiled program. Removes the
+    per-step host→device pixel upload (the dominant cost on tunneled or
+    PCIe-bound hosts) — only the (B,) index vector crosses the wire."""
+    from nnue_vision_tpu.data.augment import preprocess_batch
+
+    images = jnp.take(device_images, idx, axis=0)
+    labels = jnp.take(device_labels, idx, axis=0)
+    x = preprocess_batch(key, images, strength=strength, augment=augment)
+    return train_step(
+        state, x, labels,
+        model_type=model_type, model_cfg=model_cfg, optimizer=optimizer,
+        clip_weights=clip_weights,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("model_type", "model_cfg"))
 def eval_step(
     params,

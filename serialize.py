@@ -52,7 +52,20 @@ def infer_nnue_config(params: dict):
 
 
 def load_checkpoint_auto(path: Path) -> Tuple[str, dict, object, object]:
-    """Returns (model_type, params, batch_stats, model_cfg)."""
+    """Returns (model_type, params, batch_stats, model_cfg).
+
+    Accepts BOTH this framework's pickle checkpoints and upstream torch
+    checkpoints/state dicts (migration path: `python serialize.py
+    upstream_model.pt out.nnue` just works when torch is installed).
+    """
+    from nnue_vision_tpu.torch_import import (
+        is_torch_checkpoint,
+        load_torch_checkpoint_auto,
+    )
+
+    if is_torch_checkpoint(path):
+        return load_torch_checkpoint_auto(path)
+
     from nnue_vision_tpu.training.checkpoint import load_checkpoint
 
     payload = load_checkpoint(path)
