@@ -57,38 +57,41 @@ def main() -> None:
     params = nnue_init(jax.random.PRNGKey(0), cfg)
     state = make_train_state(params, optimizer)
 
-    from nnue_vision_tpu.training.step import gathered_train_step
+    from nnue_vision_tpu.training.step import scanned_train_steps
 
     rng = np.random.default_rng(0)
-    # device-resident training set (the production input pipeline): per-step
-    # host traffic is a (B,) index vector, everything else stays in HBM.
+    # device-resident training set (the production input pipeline): host
+    # traffic per dispatch is one (K, B) index array, everything else in HBM;
+    # K optimizer steps run per dispatch via lax.scan.
     n_data = 8192
+    spd = 16  # steps per dispatch
     device_images = jnp.asarray(rng.random((n_data, 32, 32, 3), dtype=np.float32))
     device_labels = jnp.asarray(rng.integers(0, 10, n_data).astype(np.int64))
     key = jax.random.PRNGKey(1)
 
-    def one_step(state, key, idx):
+    def one_dispatch(state, key, idx_chunk):
         key, sub = jax.random.split(key)
-        state, metrics = gathered_train_step(
-            state, device_images, device_labels, idx, sub,
+        state, metrics = scanned_train_steps(
+            state, device_images, device_labels, idx_chunk, sub,
             model_type="nnue", model_cfg=cfg, optimizer=optimizer,
             strength="light", augment=True,
         )
         return state, key, metrics
 
-    idx0 = jnp.asarray(rng.integers(0, n_data, batch))
-    for _ in range(3):
-        state, key, metrics = one_step(state, key, idx0)
+    idx0 = jnp.asarray(rng.integers(0, n_data, (spd, batch)))
+    for _ in range(2):
+        state, key, metrics = one_dispatch(state, key, idx0)
     jax.block_until_ready(state.params)
 
-    steps = 30
-    batches = [jnp.asarray(rng.integers(0, n_data, batch)) for _ in range(steps)]
+    dispatches = 8
+    chunks = [jnp.asarray(rng.integers(0, n_data, (spd, batch)))
+              for _ in range(dispatches)]
     t0 = time.perf_counter()
-    for idx in batches:
-        state, key, metrics = one_step(state, key, idx)
+    for idx_chunk in chunks:
+        state, key, metrics = one_dispatch(state, key, idx_chunk)
     jax.block_until_ready(state.params)
     train_dt = time.perf_counter() - t0
-    train_ips = steps * batch / train_dt
+    train_ips = dispatches * spd * batch / train_dt
 
     # int8 inference (bit-exact engine arithmetic) throughput
     q = nnue_quantize(state.params, cfg)

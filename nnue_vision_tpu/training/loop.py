@@ -52,6 +52,7 @@ from nnue_vision_tpu.training.optim import create_optimizer
 from nnue_vision_tpu.training.step import (
     gathered_train_step,
     make_train_state,
+    scanned_train_steps,
     train_step,
 )
 
@@ -215,25 +216,62 @@ def train_model(
             f"training set resident on device ({dataset_bytes / 1e6:.1f} MB)"
         )
 
+    # Steps fused per device dispatch on the resident path (lax.scan);
+    # amortizes dispatch overhead, which dominates for these model sizes.
+    steps_per_dispatch = int(getattr(config, "steps_per_dispatch", 8))
+
+    # Optional profiler trace (upstream had only wall-clock timing;
+    # SURVEY.md §5 tracing). Set config.profile_dir to capture a
+    # jax.profiler trace of the first training epoch for xprof/tensorboard.
+    profile_dir = getattr(config, "profile_dir", None)
+
     try:
         for epoch in range(max_epochs):
+            if profile_dir and epoch == 0:
+                jax.profiler.start_trace(str(profile_dir))
             epoch_start = time.perf_counter()
             losses = []
+
             if device_data is not None:
-                batch_iter = train_loader.iter_indices()
+                idx_batches = list(train_loader.iter_indices())
+                step_no = 0
+                pos = 0
+                while pos < len(idx_batches):
+                    chunk = idx_batches[pos : pos + steps_per_dispatch]
+                    rng, aug_key = jax.random.split(rng)
+                    if len(chunk) == steps_per_dispatch and len(chunk) > 1:
+                        state, metrics = scanned_train_steps(
+                            state, device_data[0], device_data[1],
+                            np.stack(chunk), aug_key,
+                            model_type=model_type, model_cfg=model_cfg,
+                            optimizer=optimizer, strength=strength,
+                            augment=use_aug,
+                        )
+                        chunk_losses = np.asarray(metrics["loss"])
+                    else:
+                        chunk_losses = []
+                        for idx in chunk:
+                            rng, k = jax.random.split(rng)
+                            state, metrics = gathered_train_step(
+                                state, device_data[0], device_data[1],
+                                idx, k,
+                                model_type=model_type, model_cfg=model_cfg,
+                                optimizer=optimizer, strength=strength,
+                                augment=use_aug,
+                            )
+                            chunk_losses.append(float(metrics["loss"]))
+                    for loss in chunk_losses:
+                        loss = float(loss)
+                        losses.append(loss)
+                        run.log(
+                            {"train/loss": loss},
+                            step=epoch * steps_per_epoch + step_no,
+                        )
+                        step_no += 1
+                    pos += len(chunk)
             else:
-                batch_iter = train_loader
-            for batch_idx, batch in enumerate(batch_iter):
-                rng, aug_key = jax.random.split(rng)
-                if device_data is not None:
-                    state, metrics = gathered_train_step(
-                        state, device_data[0], device_data[1],
-                        batch, aug_key,
-                        model_type=model_type, model_cfg=model_cfg,
-                        optimizer=optimizer, strength=strength,
-                        augment=use_aug,
-                    )
-                else:
+                for batch_idx, batch in enumerate(train_loader):
+                    rng, aug_key = jax.random.split(rng)
                     images, labels = batch
                     if mesh is not None:
                         images, labels = shard_batch(mesh, (images, labels))
@@ -245,12 +283,17 @@ def train_model(
                         model_type=model_type, model_cfg=model_cfg,
                         optimizer=optimizer,
                     )
-                loss = float(metrics["loss"])
-                losses.append(loss)
-                run.log(
-                    {"train/loss": loss},
-                    step=epoch * steps_per_epoch + batch_idx,
-                )
+                    loss = float(metrics["loss"])
+                    losses.append(loss)
+                    run.log(
+                        {"train/loss": loss},
+                        step=epoch * steps_per_epoch + batch_idx,
+                    )
+
+            if profile_dir and epoch == 0:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                early_log(f"profiler trace written to {profile_dir}")
 
             train_loss, train_metrics = evaluate_model(
                 state.params, state.batch_stats, train_loader,

@@ -90,6 +90,54 @@ def train_step(
         "augment",
     ),
 )
+def scanned_train_steps(
+    state: TrainState,
+    device_images: jnp.ndarray,   # (N, H, W, 3) full dataset on device
+    device_labels: jnp.ndarray,   # (N,)
+    idx_chunk: jnp.ndarray,       # (K, B) indices for K consecutive steps
+    key: jax.Array,
+    *,
+    model_type: str,
+    model_cfg,
+    optimizer: optax.GradientTransformation,
+    strength: str = "medium",
+    augment: bool = True,
+    clip_weights: bool = True,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """K optimizer steps in ONE device dispatch via lax.scan.
+
+    For models this small the per-step cost is dominated by host dispatch
+    and kernel-launch overhead, not FLOPs; scanning K steps amortizes it.
+    Returns per-step metric arrays of shape (K,).
+    """
+    from nnue_vision_tpu.data.augment import preprocess_batch
+
+    keys = jax.random.split(key, idx_chunk.shape[0])
+
+    def body(carry, inp):
+        st = carry
+        idx, k = inp
+        images = jnp.take(device_images, idx, axis=0)
+        labels = jnp.take(device_labels, idx, axis=0)
+        x = preprocess_batch(k, images, strength=strength, augment=augment)
+        st, metrics = train_step(
+            st, x, labels,
+            model_type=model_type, model_cfg=model_cfg, optimizer=optimizer,
+            clip_weights=clip_weights,
+        )
+        return st, metrics
+
+    state, metrics = jax.lax.scan(body, state, (idx_chunk, keys))
+    return state, metrics
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model_type", "model_cfg", "optimizer", "clip_weights", "strength",
+        "augment",
+    ),
+)
 def gathered_train_step(
     state: TrainState,
     device_images: jnp.ndarray,   # (N, H, W, 3) full dataset on device

@@ -1,0 +1,95 @@
+"""Evaluation module tests: env overrides, failure-repro persistence,
+compiled-vs-sim agreement (upstream evaluate.py behaviors, SURVEY.md §2.4,
+§5 failure detection)."""
+
+import os
+import stat
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from nnue_vision_tpu.models.nnue import GridFeatureSet, NNUEConfig, nnue_init
+from nnue_vision_tpu.training.evaluate import (
+    engine_executable,
+    evaluate_compiled_model,
+    evaluate_int8_sim,
+    evaluate_model,
+)
+
+CFG = NNUEConfig(feature_set=GridFeatureSet(4, 4), l1_size=16, l2_size=8,
+                 l3_size=4, num_classes=3, input_size=16)
+
+
+@pytest.fixture(scope="module")
+def model_and_data():
+    params = nnue_init(jax.random.PRNGKey(0), CFG)
+    rng = np.random.default_rng(0)
+    images = rng.random((8, 16, 16, 3), dtype=np.float32).astype(np.float32)
+    labels = rng.integers(0, 3, 8).astype(np.int64)
+    return params, [(images, labels)]
+
+
+def test_engine_executable_env_override(monkeypatch, tmp_path):
+    fake = tmp_path / "my_engine"
+    fake.write_text("")
+    monkeypatch.setenv("NNUE_ENGINE_EXEC", str(fake))
+    assert engine_executable("nnue") == fake
+    monkeypatch.setenv("ETINY_ENGINE_EXEC", str(fake))
+    assert engine_executable("etinynet") == fake
+    monkeypatch.delenv("NNUE_ENGINE_EXEC")
+    assert engine_executable("nnue").name == "nnue_inference"
+    with pytest.raises(ValueError):
+        engine_executable("resnet")
+
+
+def test_missing_engine_raises(model_and_data, monkeypatch, tmp_path):
+    params, loader = model_and_data
+    monkeypatch.setenv("NNUE_ENGINE_EXEC", str(tmp_path / "nope"))
+    with pytest.raises(RuntimeError, match="engine not found"):
+        evaluate_compiled_model(params, None, loader,
+                                model_type="nnue", model_cfg=CFG)
+
+
+def test_engine_failure_persists_repro(model_and_data, monkeypatch, tmp_path):
+    """A failing engine must persist model+image+repro.sh
+    (upstream evaluate.py:229-257)."""
+    params, loader = model_and_data
+    crasher = tmp_path / "crasher.sh"
+    crasher.write_text("#!/bin/sh\necho boom >&2\nexit 3\n")
+    crasher.chmod(crasher.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("NNUE_ENGINE_EXEC", str(crasher))
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(RuntimeError, match="rc=3"):
+        evaluate_compiled_model(params, None, loader,
+                                model_type="nnue", model_cfg=CFG)
+    failures = list(Path("logs/compiled_eval_failures").iterdir())
+    assert failures, "no repro directory persisted"
+    contents = {p.name for p in failures[0].iterdir()}
+    assert "repro.sh" in contents
+    assert any(n.endswith(".nnue") for n in contents)
+    assert any(n.endswith(".bin") for n in contents)
+
+
+def test_sim_and_engine_agree(model_and_data, engine_build_dir):
+    """evaluate_int8_sim and evaluate_compiled_model produce identical
+    accuracy metrics (they compute the same logits)."""
+    params, loader = model_and_data
+    sim = evaluate_int8_sim(params, None, loader, model_type="nnue",
+                            model_cfg=CFG)
+    compiled = evaluate_compiled_model(params, None, loader,
+                                       model_type="nnue", model_cfg=CFG)
+    for key in ("acc", "f1", "precision", "recall"):
+        assert sim[key] == pytest.approx(compiled[key], abs=1e-12)
+    assert sim["latent_density"] == pytest.approx(
+        compiled["latent_density"], abs=1e-7
+    )
+
+
+def test_float_eval(model_and_data):
+    params, loader = model_and_data
+    loss, metrics = evaluate_model(params, None, loader, model_type="nnue",
+                                   model_cfg=CFG)
+    assert np.isfinite(loss)
+    assert 0.0 <= metrics["acc"] <= 1.0
