@@ -64,7 +64,7 @@ def main() -> None:
     # traffic per dispatch is one (K, B) index array, everything else in HBM;
     # K optimizer steps run per dispatch via lax.scan.
     n_data = 8192
-    spd = 16  # steps per dispatch
+    spd = 64  # steps per dispatch
     device_images = jnp.asarray(rng.random((n_data, 32, 32, 3), dtype=np.float32))
     device_labels = jnp.asarray(rng.integers(0, 10, n_data).astype(np.int64))
     key = jax.random.PRNGKey(1)
@@ -152,6 +152,8 @@ def main() -> None:
                 (1000.0 / infer_ips) / REF_INT8_MS_PER_IMAGE, 6
             ),
             "train_batch": batch,
+            "train_steps_per_dispatch": spd,
+            "train_matmul_precision": "bf16 inputs on MXU (JAX default)",
             "device": str(jax.devices()[0]),
             "baseline": "reference torch on this host, BASELINE_MEASURED.md",
         },

@@ -91,6 +91,13 @@ class EtinyNetConfig:
     use_asq: bool = False
     asq_bits: int = 4
     dtype: str = "float32"
+    # Train the exact function the int8 engine can represent: scale-only
+    # norms where the format has no bias slot (dw/project), no residual or
+    # dense paths (the engine never executes them), straight-through
+    # quantizers matching the engine's truncating integer activations
+    # (ReLU6 at 7 levels, 1/16-grid block boundaries). Serialized models
+    # then evaluate in the engine with near-zero accuracy loss.
+    engine_friendly: bool = False
 
     @property
     def table(self) -> dict:
@@ -209,6 +216,43 @@ def _batch_norm(x, p, s, train: bool):
     return y, new_s
 
 
+def _rms_norm(x, p, s, train: bool):
+    """Scale-only normalization: y = x·g/sqrt(E[x²]+eps).
+
+    Exactly foldable into the preceding conv (pure per-channel scale) —
+    used for the dw/project norms in engine_friendly mode, where the
+    `.etiny` format has no bias slot. Reuses the BN state layout with
+    mean-square stored in "var" and "mean" kept at zero.
+    """
+    if train:
+        ms = (x * x).mean(axis=(0, 1, 2))
+        new_s = {
+            "mean": s["mean"],
+            "var": BN_MOMENTUM * s["var"] + (1 - BN_MOMENTUM) * ms,
+        }
+    else:
+        ms = s["var"]
+        new_s = s
+    y = x * (p["scale"] * jax.lax.rsqrt(ms + BN_EPS))
+    return y, new_s
+
+
+def _ste(x, quantized):
+    """Straight-through: quantized forward, identity gradient."""
+    return x + jax.lax.stop_gradient(quantized - x)
+
+
+def _q_relu6_int(x):
+    """Engine activation: clamp(trunc(u), 0, 6) — 7 integer levels."""
+    return _ste(x, jnp.clip(jnp.floor(jnp.clip(x, 0.0, 6.0)), 0.0, 6.0))
+
+
+def _q_grid16(x):
+    """Engine block boundary: trunc(16·v)/16, clamp ±127/16."""
+    lim = 127.0 / 16.0
+    return _ste(x, jnp.trunc(jnp.clip(x, -lim, lim) * 16.0) / 16.0)
+
+
 def _conv(x, w_hwio, stride=1, groups=1):
     return jax.lax.conv_general_dilated(
         x, w_hwio,
@@ -228,14 +272,19 @@ def etinynet_apply(
 ) -> Tuple[jnp.ndarray, Dict]:
     """Forward: (B, H, W, 3) → (logits (B, classes), new batch_stats)."""
     dtype = jnp.dtype(cfg.dtype)
+    ef = cfg.engine_friendly
     x = images.astype(dtype)
     new_state: Dict = {"blocks": []}
 
     x = _conv(x, params["stem_w"].astype(dtype), stride=2)
     x, new_state["stem_bn"] = _batch_norm(x, params["stem_bn"], state["stem_bn"], train)
-    x = jnp.clip(x, 0.0, 6.0)  # relu6
+    # engine stem has no activation — its output is clamped ±127 ints at
+    # 16·v; the reference model's ReLU6 here is replaced by the boundary
+    # quantizer in engine_friendly mode.
+    x = _q_grid16(x) if ef else jnp.clip(x, 0.0, 6.0)
 
     specs = cfg.block_specs()
+    mid_norm = _rms_norm if ef else _batch_norm
     for (kind, in_c, mid, out, stride, dense), bp, bs in zip(
         specs, params["blocks"], state["blocks"]
     ):
@@ -243,14 +292,16 @@ def etinynet_apply(
         ns = {}
         h = _conv(x, bp["pw_expand_w"].astype(dtype))
         h, ns["bn1"] = _batch_norm(h, bp["bn1"], bs["bn1"], train)
-        h = jnp.clip(h, 0.0, 6.0)
+        h = _q_relu6_int(h) if ef else jnp.clip(h, 0.0, 6.0)
         h = _conv(h, bp["dw_w"].astype(dtype), stride=stride, groups=mid)
-        h, ns["bn2"] = _batch_norm(h, bp["bn2"], bs["bn2"], train)
-        h = jnp.clip(h, 0.0, 6.0)
+        h, ns["bn2"] = mid_norm(h, bp["bn2"], bs["bn2"], train)
+        h = _q_relu6_int(h) if ef else jnp.clip(h, 0.0, 6.0)
         h = _conv(h, bp["pw_project_w"].astype(dtype))
-        h, ns["bn3"] = _batch_norm(h, bp["bn3"], bs["bn3"], train)
+        h, ns["bn3"] = mid_norm(h, bp["bn3"], bs["bn3"], train)
+        if ef:
+            h = _q_grid16(h)
 
-        use_residual = stride == 1 and in_c == out
+        use_residual = stride == 1 and in_c == out and not ef
         if use_residual:
             h = h + identity
         if dense and use_residual:
@@ -262,7 +313,7 @@ def etinynet_apply(
 
     x = _conv(x, params["final_w"].astype(dtype))
     x, new_state["final_bn"] = _batch_norm(x, params["final_bn"], state["final_bn"], train)
-    x = jnp.clip(x, 0.0, 6.0)
+    x = _q_relu6_int(x) if ef else jnp.clip(x, 0.0, 6.0)
     x = x.mean(axis=(1, 2))  # global average pool
 
     logits = x @ params["cls_w"].T.astype(dtype) + params["cls_b"].astype(dtype)
@@ -292,11 +343,10 @@ def _fold_bn(w_hwio: np.ndarray, bn_p: Dict, bn_s: Dict):
     return np.asarray(w_hwio, np.float64) * k, b - m * k
 
 
-# Amplification gain applied by the synthetic final block's projection:
-# int features leave the block as 16×float-value, lifting the classifier
-# input resolution from 7 levels ([0,6]) to 97 ([0,96]). The classifier's
-# scale absorbs the gain so logits keep their float meaning.
-_FINAL_GAIN = 16
+# Inter-block amplification: every boundary (stem output and block
+# projections) carries 16×its float value — range ±7.94 covers ReLU6's
+# [0,6], resolution 1/16 — and every consumer's divisor absorbs the gain.
+_GAIN = 16
 
 
 def etinynet_quantize(
@@ -315,13 +365,31 @@ def etinynet_quantize(
     Stride-2 dense blocks are tagged LB so the engine's spatial-dim
     tracking stays correct.
 
-    The model's final 1x1 conv + BN + ReLU6 (which the reference serializer
-    silently drops — serialize.py:317-351 — leaving its engine classifier
-    reading out-of-bounds pooled memory) is encoded as a synthetic LB
-    block: pw_expand = the folded final conv (the engine's clamp[0,6] IS
-    ReLU6), an identity depthwise pass (center tap = scale), and an
-    amplifying identity projection (64·I at scale 64/_FINAL_GAIN). The
-    classifier's f32 scale divides the gain back out.
+    ENGINE-FAITHFUL value scales. The engine's integer pipeline implies a
+    value scale at every boundary; the format's three per-block f32 scales
+    absorb them so the engine computes the float model (reference citations
+    in ops/engine_sim.py):
+
+      stem:      weights at 16 → out = 16·v (acc = Σ int(x·64)·round(16w),
+                 /64; the ±127 clamp then allows v ∈ ±7.94, covering the
+                 model's ReLU6 range — at weight scale 64 the stem would
+                 saturate at v = ±1.98), bias = round(1024·b)
+      pw_expand: weights at 64, divisor = 64·16 = 1024,
+                 bias = round(1024·b); the engine clamp[0,6] then IS float
+                 ReLU6 at value scale 1
+      dw:        weights at 64, divisor 64; clamp[0,6] = ReLU6
+      pw_project:weights at 64, divisor 4 → outputs at 16·v
+      classifier: pooled = 16·f → file scale 1024, bias round(1024·b)
+
+    The reference serializer writes uniform 64s (serialize.py:143-145),
+    making its engine clamp activations at float 6/64 ≈ 0.094 and add
+    biases 64× too small — its int8 EtinyNet computed a different function.
+
+    The model's final 1x1 conv + BN + ReLU6 (which the reference drops
+    entirely — serialize.py:317-351, leaving its engine classifier reading
+    out-of-bounds pooled memory) is encoded as a synthetic LB block:
+    pw_expand = folded final conv, identity depthwise, amplifying identity
+    projection.
     """
     p = jax.device_get(params)
     s = jax.device_get(state)
@@ -329,17 +397,21 @@ def etinynet_quantize(
 
     stem_w, stem_b = _fold_bn(p["stem_w"], p["stem_bn"], s["stem_bn"])
     stem = QConv(
-        weight=quantize_weight_i8(np.transpose(stem_w, (3, 2, 0, 1))),  # OIHW
-        bias=quantize_bias_i32(stem_b),
+        weight=quantize_weight_i8(
+            np.transpose(stem_w, (3, 2, 0, 1)), scale=float(_GAIN)
+        ),  # OIHW, weight scale 16 → output at 16·v
+        bias=quantize_bias_i32(stem_b, scale=64.0 * _GAIN),
     )
 
     blocks = []
+    alpha = _GAIN  # amplification of this block's input
     for (kind, in_c, mid, out, stride, dense), bp, bs in zip(
         cfg.block_specs(), p["blocks"], s["blocks"]
     ):
         pw_e, pw_e_bias = _fold_bn(bp["pw_expand_w"], bp["bn1"], bs["bn1"])
         dw, _ = _fold_bn(bp["dw_w"], bp["bn2"], bs["bn2"])
         pw_p, _ = _fold_bn(bp["pw_project_w"], bp["bn3"], bs["bn3"])
+        s_expand = 64.0 * alpha
         blocks.append(
             QLBBlock(
                 pw_expand=quantize_weight_i8(pw_e[0, 0].T),  # (mid, in)
@@ -347,15 +419,20 @@ def etinynet_quantize(
                 pw_project=quantize_weight_i8(pw_p[0, 0].T),  # (out, mid)
                 stride=stride,
                 is_dense=bool(dense and stride == 1),
-                pw_expand_bias=quantize_bias_i32(pw_e_bias),
+                pw_expand_scale=s_expand,
+                dw_scale=64.0,
+                pw_project_scale=64.0 / _GAIN,
+                pw_expand_bias=quantize_bias_i32(pw_e_bias, scale=s_expand),
             )
         )
+        alpha = _GAIN
 
     # Synthetic final block: folded final conv + identity dw + amplifier.
     fin = t["final_channels"]
     final_w, final_b = _fold_bn(p["final_w"], p["final_bn"], s["final_bn"])
     dw_identity = np.zeros((fin, 3, 3), np.int8)
     dw_identity[:, 1, 1] = 64
+    s_expand = 64.0 * alpha
     blocks.append(
         QLBBlock(
             pw_expand=quantize_weight_i8(final_w[0, 0].T),  # (fin, last_out)
@@ -363,10 +440,10 @@ def etinynet_quantize(
             pw_project=(np.eye(fin) * 64).astype(np.int8),
             stride=1,
             is_dense=False,
-            pw_expand_scale=64.0,
+            pw_expand_scale=s_expand,
             dw_scale=64.0,
-            pw_project_scale=64.0 / _FINAL_GAIN,
-            pw_expand_bias=quantize_bias_i32(final_b),
+            pw_project_scale=64.0 / _GAIN,
+            pw_expand_bias=quantize_bias_i32(final_b, scale=s_expand),
         )
     )
 
@@ -380,11 +457,8 @@ def etinynet_quantize(
         blocks=blocks,
         classifier=QLinear(
             weight=quantize_weight_i8(p["cls_w"]),
-            bias=np.round(
-                np.asarray(jax.device_get(params)["cls_b"], np.float64)
-                * 64.0 * _FINAL_GAIN
-            ).astype(np.int32),
-            scale=64.0 * _FINAL_GAIN,
+            bias=quantize_bias_i32(p["cls_b"], scale=64.0 * _GAIN),
+            scale=64.0 * _GAIN,
         ),
         use_asq=cfg.use_asq,
         asq_bits=cfg.asq_bits,

@@ -318,7 +318,12 @@ def nnue_quantize(params: Dict, cfg: NNUEConfig) -> QuantizedNNUE:
         l2=cfg.l2_size,
         l3=cfg.l3_size,
         nnue2score=float(p["nnue2score"]),
-        visual_threshold=float(np.mean(p["visual_threshold"])),
+        # The engine thresholds the conv OUTPUT INTEGERS, which carry value
+        # scale 64 (acc = Σ int(x·64)·round(w·64), out = acc/64 ≈ 64·conv) —
+        # so the float threshold must be scaled by 64 on serialization. The
+        # reference writes it raw (serialize.py:63 upstream), silently
+        # binarizing at threshold/64.
+        visual_threshold=float(np.mean(p["visual_threshold"])) * 64.0,
         conv=QConv(
             weight=quantize_weight_i8(p["conv_w"]),
             bias=np.zeros(fs.num_features_per_square, np.int32),  # conv has no bias
@@ -363,7 +368,7 @@ def nnue_from_quantized(q: QuantizedNNUE) -> Tuple[Dict, NNUEConfig]:
     params = {
         "conv_w": jnp.asarray(q.conv.weight, jnp.float32) / s,
         "visual_threshold": jnp.full(
-            (q.num_features_per_square,), q.visual_threshold, jnp.float32
+            (q.num_features_per_square,), q.visual_threshold / 64.0, jnp.float32
         ),
         "ft_w": jnp.asarray(q.ft.weight, jnp.float32) / s,
         "ft_b": jnp.asarray(q.ft.bias, jnp.float32) / s,
