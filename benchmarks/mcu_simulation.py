@@ -293,7 +293,10 @@ def run_mcu_benchmark(
     """Full pipeline: stats + per-MCU latency/energy/memory-fit/efficiency."""
     if mcu_specs is None:
         mcu_specs = list(MCU_SPECS.values())
-    stats = generate_model_stats(model, data_loader, target_sparsity)
+    # target_sparsity is authoritative here (the upstream integration spec
+    # expects model_stats.sparsity_ratio == target); pass a loader to
+    # generate_model_stats directly for measured sparsity.
+    stats = generate_model_stats(model, None, target_sparsity)
 
     results = {"model_stats": stats, "mcu_results": {}}
     for spec in mcu_specs:

@@ -168,9 +168,14 @@ def etinynet_init(rng: jax.Array, cfg: EtinyNetConfig) -> Tuple[Dict, Dict]:
         "final_bn": _bn_state(t["final_channels"]),
     }
     for kind, in_c, mid, out, stride, dense in specs:
+        bn1 = _bn_init(mid)
+        if cfg.engine_friendly:
+            # start pre-activations centered inside the 7-level [0,6] grid
+            # so the round-STE passes signal from step one
+            bn1 = {"scale": bn1["scale"], "bias": jnp.full((mid,), 1.5)}
         bp = {
             "pw_expand_w": _conv_init(next(keys), (1, 1, in_c, mid)),
-            "bn1": _bn_init(mid),
+            "bn1": bn1,
             "dw_w": _conv_init(next(keys), (3, 3, 1, mid)),
             "bn2": _bn_init(mid),
             "pw_project_w": _conv_init(next(keys), (1, 1, mid, out)),
@@ -247,6 +252,13 @@ def _q_relu6_int(x):
     return _ste(x, jnp.clip(jnp.floor(jnp.clip(x, 0.0, 6.0)), 0.0, 6.0))
 
 
+def _q_relu6_round(x):
+    """Round-variant 7-level activation for the pw_expand stage: the
+    serializer folds +0.5 into the (existing) bias slot, turning the
+    engine's truncation into rounding — gentler quantization noise."""
+    return _ste(x, jnp.clip(jnp.round(jnp.clip(x, 0.0, 6.0)), 0.0, 6.0))
+
+
 def _q_grid16(x):
     """Engine block boundary: trunc(16·v)/16, clamp ±127/16."""
     lim = 127.0 / 16.0
@@ -292,7 +304,7 @@ def etinynet_apply(
         ns = {}
         h = _conv(x, bp["pw_expand_w"].astype(dtype))
         h, ns["bn1"] = _batch_norm(h, bp["bn1"], bs["bn1"], train)
-        h = _q_relu6_int(h) if ef else jnp.clip(h, 0.0, 6.0)
+        h = _q_relu6_round(h) if ef else jnp.clip(h, 0.0, 6.0)
         h = _conv(h, bp["dw_w"].astype(dtype), stride=stride, groups=mid)
         h, ns["bn2"] = mid_norm(h, bp["bn2"], bs["bn2"], train)
         h = _q_relu6_int(h) if ef else jnp.clip(h, 0.0, 6.0)
@@ -313,7 +325,7 @@ def etinynet_apply(
 
     x = _conv(x, params["final_w"].astype(dtype))
     x, new_state["final_bn"] = _batch_norm(x, params["final_bn"], state["final_bn"], train)
-    x = _q_relu6_int(x) if ef else jnp.clip(x, 0.0, 6.0)
+    x = _q_relu6_round(x) if ef else jnp.clip(x, 0.0, 6.0)
     x = x.mean(axis=(1, 2))  # global average pool
 
     logits = x @ params["cls_w"].T.astype(dtype) + params["cls_b"].astype(dtype)
@@ -411,6 +423,11 @@ def etinynet_quantize(
         pw_e, pw_e_bias = _fold_bn(bp["pw_expand_w"], bp["bn1"], bs["bn1"])
         dw, _ = _fold_bn(bp["dw_w"], bp["bn2"], bs["bn2"])
         pw_p, _ = _fold_bn(bp["pw_project_w"], bp["bn3"], bs["bn3"])
+        if cfg.engine_friendly:
+            # the model trained with ROUND 7-level activations at this
+            # stage; +0.5 in the bias turns the engine's truncation into
+            # rounding (trunc(u + 0.5) = round(u) on the clamped range)
+            pw_e_bias = pw_e_bias + 0.5
         s_expand = 64.0 * alpha
         blocks.append(
             QLBBlock(
@@ -430,6 +447,8 @@ def etinynet_quantize(
     # Synthetic final block: folded final conv + identity dw + amplifier.
     fin = t["final_channels"]
     final_w, final_b = _fold_bn(p["final_w"], p["final_bn"], s["final_bn"])
+    if cfg.engine_friendly:
+        final_b = final_b + 0.5  # round semantics, as above
     dw_identity = np.zeros((fin, 3, 3), np.int8)
     dw_identity[:, 1, 1] = 64
     s_expand = 64.0 * alpha

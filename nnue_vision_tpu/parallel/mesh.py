@@ -55,6 +55,41 @@ def replicate(mesh: Mesh, tree):
     )
 
 
+MODEL_AXIS = "model"
+
+
+def nnue_param_shardings(mesh: Mesh, params):
+    """NamedShardings for tensor-parallel NNUE params over a `model` axis.
+
+    The feature transformer dominates the parameter count; its output (L1)
+    dimension shards cleanly: each model-shard computes its slice of the
+    FT accumulator, and GSPMD inserts the all-gather before the pairwise
+    interaction (which mixes the two L1 halves). fc1's input dimension
+    shards to match. Everything else is small and stays replicated.
+    """
+    if MODEL_AXIS not in mesh.axis_names:
+        raise ValueError(f"mesh has no '{MODEL_AXIS}' axis: {mesh.axis_names}")
+    plan = {
+        "ft_w": P(None, MODEL_AXIS),   # (F, L1) sharded over L1
+        "ft_b": P(MODEL_AXIS),         # (L1,)
+        "fc1_w": P(None, MODEL_AXIS),  # (L2, L1) sharded over input dim
+    }
+    return {
+        name: NamedSharding(mesh, plan.get(name, P()))
+        for name in params
+    }
+
+
+def shard_params(mesh: Mesh, params, shardings=None):
+    """Place params per the sharding plan (replicated where unspecified)."""
+    if shardings is None:
+        shardings = nnue_param_shardings(mesh, params)
+    return {
+        name: jax.device_put(value, shardings[name])
+        for name, value in params.items()
+    }
+
+
 def pad_batch_to_devices(batch, n_devices: int):
     """Zero-pad the leading dim so it divides the data axis (host helper)."""
     def pad(x):

@@ -225,6 +225,7 @@ def test_run_mcu_benchmark(small_model, loader, spec):
                                 mcu_specs=[spec], target_sparsity=0.5,
                                 verbose=False)
     assert "model_stats" in results
+    assert results["model_stats"].sparsity_ratio == 0.5  # target respected
     mcu = results["mcu_results"][spec.name]
     for key in ("latency", "energy", "memory_fit", "efficiency_metrics"):
         assert key in mcu
