@@ -320,6 +320,10 @@ def etinynet_apply(
             cat = jnp.concatenate([identity, h], axis=-1)
             h = _conv(cat, bp["dense_proj_w"].astype(dtype))
             h, ns["dense_bn"] = _batch_norm(h, bp["dense_bn"], bs["dense_bn"], train)
+        elif "dense_bn" in bs:
+            # engine_friendly skips the dense path but must preserve the
+            # state structure so checkpoints stay mode-portable
+            ns["dense_bn"] = bs["dense_bn"]
         new_state["blocks"].append(ns)
         x = h
 

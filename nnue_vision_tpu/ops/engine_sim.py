@@ -333,6 +333,78 @@ def _tdiv_f32(a: jnp.ndarray, s: int) -> jnp.ndarray:
     return jnp.trunc(a / jnp.float32(s))
 
 
+# ---------------------------------------------------------------------------
+# NNUE incremental accumulators (chess-style, batched on TPU)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def nnue_accumulator_refresh(params: Dict, mask: jnp.ndarray) -> jnp.ndarray:
+    """Full accumulator refresh: bias + maskᵀ rows of the FT table.
+
+    mask: (B, F) {0,1}. Returns int32 accumulators (B, L1) carrying the
+    engine's int16 value pre-wraparound (the head applies the wrap), so
+    incremental adds/removes stay exact linear updates.
+    """
+    acc = mask.astype(jnp.float32) @ params["ft_w"].astype(jnp.float32)
+    return acc.astype(jnp.int32) + params["ft_b"]
+
+
+@jax.jit
+def nnue_accumulator_update(
+    params: Dict, acc: jnp.ndarray, new_mask: jnp.ndarray, old_mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Chess-style incremental update, batched: one matmul on the CHANGED
+    features only (the delta mask is ±1/0), exactly equal to a refresh with
+    `new_mask` (nnue_engine.cpp:257-267 upstream semantics).
+
+    For video streams where few grid cells change per frame the delta mask
+    is sparse; the MXU still processes it as a dense (B, F) × (F, L1)
+    product, which at these sizes is faster than any gather.
+    """
+    delta = new_mask.astype(jnp.float32) - old_mask.astype(jnp.float32)
+    upd = delta @ params["ft_w"].astype(jnp.float32)
+    return acc + upd.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def nnue_head_from_accumulator(
+    params: Dict, acc: jnp.ndarray, *, cfg: NNUESimCfg
+) -> jnp.ndarray:
+    """Accumulator (B, L1) int32 → logits, bit-exact engine head
+    (int16 wrap → clipped ReLU → pairwise → dense stack)."""
+    s = cfg
+    ft = jnp.clip(_wrap_i16(acc), 0, s.quantized_one)
+    half = s.l1 // 2
+    a, bb = ft[:, :half], ft[:, half:]
+    prod = jnp.clip(_tdiv(a * bb, 128), 0, 127)
+    pairwise = jnp.concatenate([prod, jnp.clip(a, 0, 127)], axis=1)
+    h1 = _dot_i8(pairwise.astype(jnp.int8), params["fc1_w"]) + params["fc1_b"]
+    h1 = jnp.clip(_tdiv(h1, s.fc1_scale), 0, 127)
+    h2 = _dot_i8(h1.astype(jnp.int8), params["fc2_w"]) + params["fc2_b"]
+    h2 = jnp.maximum(jnp.clip(_tdiv(h2, s.fc2_scale), -127, 127), 0)
+    out = _dot_i8(h2.astype(jnp.int8), params["out_w"]) + params["out_b"]
+    return out.astype(jnp.float32) / jnp.float32(s.out_scale)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "image_h", "image_w"))
+def nnue_feature_mask(
+    params: Dict, images: jnp.ndarray, *, cfg: NNUESimCfg, image_h: int, image_w: int
+) -> jnp.ndarray:
+    """images → binary active-feature mask (B, F), engine-exact
+    (conv frontend + grid placement + threshold)."""
+    stride = engine_conv_stride(image_h, cfg.grid_size)
+    qin = _quantize_input(images, cfg.conv_scale)
+    acc = _int_conv3x3(qin, params["conv_w"], params["conv_b"], stride)
+    conv_out = jnp.clip(_tdiv(acc, cfg.conv_scale), -127, 127)
+    flat = conv_out.reshape(conv_out.shape[0], -1)
+    num_features = cfg.grid_size * cfg.grid_size * cfg.channels
+    buf = jnp.pad(flat, ((0, 0), (0, num_features - flat.shape[1])))
+    return (buf.astype(jnp.float32) > params["visual_threshold"]).astype(
+        jnp.float32
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "image_h", "image_w"))
 def etiny_engine_forward(
     params: Dict, images: jnp.ndarray, *, cfg: EtinySimCfg, image_h: int, image_w: int

@@ -296,6 +296,17 @@ def train_model(
                 jax.profiler.stop_trace()
                 early_log(f"profiler trace written to {profile_dir}")
 
+            # Fail fast with diagnostics on numerical blow-up
+            # (training_utils.py:356-370 upstream philosophy).
+            if losses and not np.isfinite(losses[-1]):
+                from nnue_vision_tpu.training.utils import check_for_nonfinite
+
+                detail = check_for_nonfinite(state.params, where="params")
+                raise FloatingPointError(
+                    f"non-finite training loss at epoch {epoch + 1}: "
+                    f"{losses[-1]}; {detail or 'params finite — loss path'}"
+                )
+
             train_loss, train_metrics = evaluate_model(
                 state.params, state.batch_stats, train_loader,
                 model_type=model_type, model_cfg=model_cfg,

@@ -104,6 +104,7 @@ def load_checkpoint_auto(path: Path) -> Tuple[str, dict, object, object]:
             else cfg_dict["input_size"][0],
             use_asq=cfg_dict.get("use_asq", False),
             asq_bits=cfg_dict.get("asq_bits", 4),
+            engine_friendly=cfg_dict.get("engine_friendly", False),
         )
     return model_type, params, batch_stats, cfg
 

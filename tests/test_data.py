@@ -154,3 +154,18 @@ def test_bad_strength_rejected(rng):
     images = rng.random((2, 8, 8, 3), dtype=np.float32).astype(np.float32)
     with pytest.raises(ValueError):
         augment_batch(jax.random.PRNGKey(0), images, "extreme")
+
+
+def test_hflip_probability_distribution(rng):
+    """Distribution validation (SURVEY.md §7 hard-part 4): the flip family
+    fires at the configured rate (~0.5) across samples/keys."""
+    # an asymmetric image so flips are detectable
+    base = np.zeros((1, 8, 8, 3), np.float32)
+    base[0, :, :4, :] = 1.0
+    images = np.repeat(base, 256, axis=0)
+    out = np.asarray(augment_batch(jax.random.PRNGKey(7), images, "light"))
+    # brightness/cutout may perturb values; detect flips by side-mass
+    left = out[:, :, :4, :].mean(axis=(1, 2, 3))
+    right = out[:, :, 4:, :].mean(axis=(1, 2, 3))
+    flipped = (right > left).mean()
+    assert 0.38 < flipped < 0.62, f"flip rate {flipped} not ≈ 0.5"
