@@ -240,9 +240,16 @@ def simulate_mcu_latency(
 def estimate_energy_consumption(
     latency_ms: float, mcu_spec: MCUSpecs
 ) -> Dict[str, float]:
-    """Energy per inference: active + idle-floor; mJ and µJ."""
-    active_mj = mcu_spec.power_active_mw * latency_ms / 1000.0
-    idle_mj = mcu_spec.power_idle_mw * latency_ms / 1000.0
+    """Energy per inference.
+
+    Unit convention inherited from the upstream spec (its integration tests
+    assert active_energy_mj ≈ power_active_mw × latency_ms — i.e., mW·ms,
+    which is physically µJ but labeled mJ upstream; total_energy_uj is that
+    ×1000). Kept verbatim so spec-shaped consumers get the numbers they
+    expect; treat these as relative figures across models/MCUs.
+    """
+    active_mj = mcu_spec.power_active_mw * latency_ms
+    idle_mj = mcu_spec.power_idle_mw * latency_ms
     total_mj = active_mj + idle_mj
     return {
         "active_energy_mj": active_mj,

@@ -1,11 +1,6 @@
-"""EtinyNet engine-friendly (quantization-aware) training config.
+"""EtinyNet engine-friendly QAT, experiment B: Adam, no augmentation."""
 
-Trains the exact function the int8 engine represents (scale-only mid-block
-norms, engine activation grids); serialized .etiny accuracy then tracks
-the float model.
-"""
-
-name = "etinynet_qat"
+name = "etinynet_qat_b"
 
 etinynet_variant = "micro"
 use_asq = False
@@ -20,8 +15,6 @@ num_classes = 10
 subset = 1.0
 max_samples_per_split = None
 
-# Adam handles the noisy straight-through-quantizer gradients far better
-# than SGD here (measured: SGD plateaus near chance, Adam learns).
 learning_rate = 2e-3
 weight_decay = 1e-4
 momentum = 0.9
@@ -34,12 +27,12 @@ use_cyclical_lr = False
 cyclical_lr_period = 1000
 cyclical_lr_amplitude = 0.1
 
-use_augmentation = True
+use_augmentation = False
 augmentation_strength = "light"
 
 seed = 42
 deterministic = False
 keep_alive = False
 log_dir = "logs"
-project_name = "etinynet_qat"
+project_name = "etinynet_qat_b"
 compiled_backend = "sim"
