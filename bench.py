@@ -83,7 +83,7 @@ def main() -> None:
         state, key, metrics = one_dispatch(state, key, idx0)
     jax.block_until_ready(state.params)
 
-    dispatches = 8
+    dispatches = 30
     chunks = [jnp.asarray(rng.integers(0, n_data, (spd, batch)))
               for _ in range(dispatches)]
     t0 = time.perf_counter()

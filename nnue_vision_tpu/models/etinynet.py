@@ -71,10 +71,10 @@ ETINYNET_VARIANTS = {
     },
     "micro": {
         "conv_channels": 8,
-        "stage1": [(8, 8, 8)] * 1,
-        "stage2": [(8, 16, 16)] + [(16, 16, 16)] * 0 + [(16, 16, 16)],
-        "stage3": [(16, 24, 24)] + [(24, 24, 24)] * 0 + [(24, 24, 24)],
-        "stage4": [(24, 32, 32)] + [(32, 32, 32)] * 0 + [(32, 32, 32)],
+        "stage1": [(8, 8, 8)],
+        "stage2": [(8, 16, 16), (16, 16, 16)],
+        "stage3": [(16, 24, 24), (24, 24, 24)],
+        "stage4": [(24, 32, 32), (32, 32, 32)],
         "final_channels": 128,
     },
 }

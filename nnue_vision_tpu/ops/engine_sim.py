@@ -31,9 +31,14 @@ Integer-arithmetic contract reproduced (reference files cited per function):
   integer division while |acc| < 2^24, which holds for every architecture the
   format admits (l1·127·127 < 2^24 for l1 ≤ 1024 and biases |b·64| < 260k).
 
-Matmuls run on the MXU: int8 inputs with `preferred_element_type=int32`
-where products stay int8-ranged; exact integer-valued float32 where an
-operand exceeds int8 (conv inputs). All divisions/clamps are VPU elementwise.
+Matmuls run on the MXU. Two exactness strategies are used, both proven
+bit-equal to the C++ binaries in tests/test_engine_parity.py:
+
+* int8×int8→int32 `dot_general` where accumulators can approach 2^24
+  (NNUE dense stack, classifiers);
+* integer-valued float32 elsewhere (convs, the whole EtinyNet chain):
+  exact below 2^24, with power-of-two-scale truncating division — and far
+  friendlier to the TPU compiler than long int8/int32 op chains.
 """
 
 from __future__ import annotations
