@@ -17,10 +17,12 @@ Tier parity (same transform families and probabilities as upstream):
           (0.2), affine ±15%/0.85–1.15, brightness ±0.3, stronger noise
           σ∈[0.05,0.1], cutout 10–25% ×2)
 
-Upstream's low-probability exotics (shadow/fog/grid-distortion/elastic/
-CLAHE/posterize/equalize, each p≤0.1) are approximated by the stronger
-noise/contrast families for now; distributional coverage is tested, not
-pixel parity (SURVEY.md §7 hard-part 4).
+Upstream's low-probability exotics map to jit-able approximations at the
+same probabilities: shadow → half-plane darkening, fog → white blend,
+posterize → color-depth reduction, equalize/CLAHE → contrast stretch
+(each p=0.1); grid-distortion/elastic are covered by the affine family.
+Distributional coverage is tested, not pixel parity (SURVEY.md §7
+hard-part 4).
 
 Images are float32 [0,1] NHWC throughout; `normalize_images` applies the
 ImageNet statistics at the end exactly like the upstream pipeline's
@@ -153,6 +155,49 @@ def _gauss_noise(key, x, p, sigma_range):
     return jnp.where(apply, jnp.clip(x + noise, 0.0, 1.0), x)
 
 
+def _posterize(key, x, p, bits=4):
+    """Reduce color depth to `bits` levels per channel."""
+    b = x.shape[0]
+    levels = float(2 ** bits - 1)
+    post = jnp.round(x * levels) / levels
+    return jnp.where(_bernoulli(key, p, b), post, x)
+
+
+def _equalize_approx(key, x, p):
+    """Histogram-equalization approximation: per-image contrast stretch to
+    the full [0,1] range (the jit-able stand-in for A.Equalize)."""
+    b = x.shape[0]
+    lo = x.min(axis=(1, 2, 3), keepdims=True)
+    hi = x.max(axis=(1, 2, 3), keepdims=True)
+    stretched = (x - lo) / jnp.maximum(hi - lo, 1e-6)
+    return jnp.where(_bernoulli(key, p, b), stretched, x)
+
+
+def _shadow(key, x, p):
+    """Random linear half-plane shadow (darken one side by 30-60%)."""
+    b, h, w, _ = x.shape
+    keys = jax.random.split(key, 4)
+    apply = _bernoulli(keys[0], p, b)
+    theta = jax.random.uniform(keys[1], (b, 1, 1), maxval=2 * jnp.pi)
+    offset = jax.random.uniform(keys[2], (b, 1, 1), minval=-0.3, maxval=0.3)
+    dark = jax.random.uniform(keys[3], (b, 1, 1, 1), minval=0.4, maxval=0.7)
+    yy = (jnp.arange(h)[None, :, None] / h) - 0.5
+    xx = (jnp.arange(w)[None, None, :] / w) - 0.5
+    side = (jnp.cos(theta) * xx + jnp.sin(theta) * yy) > offset
+    shaded = jnp.where(side[..., None], x * dark, x)
+    return jnp.where(apply, shaded, x)
+
+
+def _fog(key, x, p):
+    """Fog approximation: blend toward white with a random intensity."""
+    b = x.shape[0]
+    keys = jax.random.split(key, 2)
+    apply = _bernoulli(keys[0], p, b)
+    amount = jax.random.uniform(keys[1], (b, 1, 1, 1), minval=0.1, maxval=0.4)
+    fogged = x * (1.0 - amount) + amount
+    return jnp.where(apply, fogged, x)
+
+
 def _cutout(key, x, p, size_range):
     """One random rectangular hole per sample (CoarseDropout)."""
     b, h, w, _ = x.shape
@@ -200,6 +245,10 @@ def augment_batch(
     x = _gauss_noise(ks[7], x, 0.2, (0.01, 0.05))
     x = _cutout(ks[8], x, 0.3, (0.05, 0.15))
     x = _hsv_shift(ks[9], x, 0.2, 8 / 255.0, 0.1, 8 / 255.0)    # ColorJitter approx
+    x = _shadow(ks[20], x, 0.1)
+    x = _fog(ks[21], x, 0.1)
+    x = _posterize(ks[22], x, 0.1)
+    x = _equalize_approx(ks[23], x, 0.1)
 
     if strength == "heavy":
         x = _hflip(ks[10], x, 0.1)

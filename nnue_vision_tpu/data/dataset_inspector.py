@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import argparse
 
-import numpy as np
-
 from nnue_vision_tpu.data.datasets import (
     AVAILABLE_DATASETS,
     GenericVisionDataset,

@@ -74,6 +74,7 @@ def create_data_loaders(
     augmentation_strength: str = "medium",
     seed: int = 0,
     synthetic_fallback: bool = True,
+    synthetic_size: int = 512,
 ) -> Tuple[ArrayLoader, ArrayLoader, ArrayLoader]:
     """Returns (train_loader, val_loader, test_loader)."""
     del num_workers
@@ -86,6 +87,7 @@ def create_data_loaders(
         binary_classification=binary_classification,
         augmentation_strength=augmentation_strength,
         synthetic_fallback=synthetic_fallback,
+        synthetic_size=synthetic_size,
         seed=seed,
     )
     train_ds = GenericVisionDataset(

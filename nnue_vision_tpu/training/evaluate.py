@@ -25,7 +25,6 @@ from datetime import datetime
 from pathlib import Path
 from typing import Dict, Optional, Tuple
 
-import jax
 import numpy as np
 
 from nnue_vision_tpu.data.augment import normalize_images

@@ -29,11 +29,7 @@ import numpy as np
 
 from nnue_vision_tpu.data.augment import preprocess_batch
 from nnue_vision_tpu.data.loaders import create_data_loaders
-from nnue_vision_tpu.models.etinynet import (
-    EtinyNetConfig,
-    etinynet_apply,
-    etinynet_init,
-)
+from nnue_vision_tpu.models.etinynet import EtinyNetConfig, etinynet_init
 from nnue_vision_tpu.models.nnue import GridFeatureSet, NNUEConfig, nnue_init
 from nnue_vision_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from nnue_vision_tpu.training import checkpoint as ckpt
@@ -139,6 +135,7 @@ def train_model(
         use_augmentation=getattr(config, "use_augmentation", True),
         augmentation_strength=getattr(config, "augmentation_strength", "medium"),
         seed=getattr(config, "seed", 42),
+        synthetic_size=getattr(config, "synthetic_size", 512),
     )
     if train_loader.dataset.is_synthetic:
         early_log("NOTE: dataset not found on disk — training on synthetic data")

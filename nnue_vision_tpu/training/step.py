@@ -10,14 +10,14 @@ config for capability parity).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from nnue_vision_tpu.models.etinynet import EtinyNetConfig, etinynet_apply
-from nnue_vision_tpu.models.nnue import NNUEConfig, nnue_apply, nnue_clip_weights
+from nnue_vision_tpu.models.etinynet import etinynet_apply
+from nnue_vision_tpu.models.nnue import nnue_apply, nnue_clip_weights
 
 
 class TrainState(NamedTuple):
