@@ -178,6 +178,20 @@ def nnue_init(rng: jax.Array, cfg: NNUEConfig) -> Dict:
     }
 
 
+def _wq(w, scale: float):
+    """Weight fake-quantization with a straight-through gradient:
+    round(clip(w)·scale)/scale — the exact value the serializer will emit,
+    so QAT training sees the deployed weights."""
+    q = jnp.round(jnp.clip(w, -1.0, 1.0) * scale) / scale
+    return w + jax.lax.stop_gradient(q - w)
+
+
+def _bq(b, scale: float):
+    """Bias fake-quantization (int32 slot: rounded, never clipped)."""
+    q = jnp.round(b * scale) / scale
+    return b + jax.lax.stop_gradient(q - b)
+
+
 def nnue_apply(
     params: Dict,
     images: jnp.ndarray,
@@ -187,10 +201,38 @@ def nnue_apply(
     """Forward pass: images (B, H, W, 3) float32 NHWC → logits (B, classes).
 
     With `return_aux=True` also returns {"density": (B,), "mask": (B, F)}.
+
+    In QAT mode every weight, bias, and activation is fake-quantized to
+    exactly what the serialized int8 engine will compute (weights via
+    `_wq` at the faithful per-layer scales, activations via the engine's
+    clamp ranges), so float validation accuracy predicts deployed accuracy.
     """
     fs = cfg.feature_set
     dtype = jnp.dtype(cfg.dtype)
     x = images.astype(dtype)
+
+    if cfg.qat:
+        p = dict(params)
+        half_cols = cfg.l1_size // 2
+        # conv weights are not clipped by the reference; quantize on the
+        # ±127/64 representable grid
+        cq = jnp.round(jnp.clip(params["conv_w"], -127 / 64, 127 / 64) * 64) / 64
+        p["conv_w"] = params["conv_w"] + jax.lax.stop_gradient(
+            cq - params["conv_w"]
+        )
+        p["ft_w"] = _wq(params["ft_w"], 64)
+        p["ft_b"] = _bq(params["ft_b"], 64)
+        p["fc1_w"] = jnp.concatenate(
+            [_wq(params["fc1_w"][:, :half_cols], 64),
+             _wq(params["fc1_w"][:, half_cols:], 32)],
+            axis=1,
+        )
+        p["fc1_b"] = _bq(params["fc1_b"], 2048)
+        p["fc2_w"] = _wq(params["fc2_w"], 64)
+        p["fc2_b"] = _bq(params["fc2_b"], 4096)
+        p["out_w"] = _wq(params["out_w"], 64)
+        p["out_b"] = _bq(params["out_b"], 4096)
+        params = p
 
     # Conv frontend, engine-geometry (stride from the engine rule).
     rhs = jnp.transpose(params["conv_w"], (2, 3, 1, 0)).astype(dtype)  # HWIO
