@@ -1,0 +1,73 @@
+"""Upstream-engine interchangeability (optional).
+
+Our serialized files must evaluate identically in the UPSTREAM C++ engine
+binaries, not just our own. This test runs when those binaries are
+available — point NV_REF_ENGINE_DIR at a build of the reference engine
+(e.g. `cmake -S /root/reference/engine -B /tmp/ref_build && make -C
+/tmp/ref_build nnue_inference etinynet_inference`); it is skipped
+otherwise, keeping the suite self-contained.
+"""
+
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from nnue_vision_tpu.formats import write_etiny, write_nnue
+from nnue_vision_tpu.ops.engine_sim_np import etiny_forward_np, nnue_forward_np
+from tests.conftest import random_quantized_etiny, random_quantized_nnue
+
+REF_DIR = Path(os.environ.get("NV_REF_ENGINE_DIR", "/tmp/ref_build"))
+
+pytestmark = pytest.mark.skipif(
+    not (REF_DIR / "nnue_inference").exists(),
+    reason="upstream engine binaries not available (set NV_REF_ENGINE_DIR)",
+)
+
+
+def test_upstream_nnue_bit_exact(rng, tmp_path):
+    q = random_quantized_nnue(rng, grid=10, ch=8, l1=64, l2=32, l3=8,
+                              num_classes=10)
+    model = tmp_path / "m.nnue"
+    write_nnue(q, model)
+    for _ in range(3):
+        img = (rng.random((32, 32, 3), dtype=np.float32) * 2 - 0.5).astype(
+            np.float32
+        )
+        img_path = tmp_path / "img.bin"
+        img.tofile(img_path)
+        r = subprocess.run(
+            [str(REF_DIR / "nnue_inference"), str(model), str(img_path),
+             "32", "32"],
+            capture_output=True, text=True, timeout=30,
+        )
+        assert r.returncode == 0, r.stderr
+        parts = r.stdout.strip().split(",")
+        upstream_logits = np.array([float(v) for v in parts[:-1]], np.float32)
+        ours, density = nnue_forward_np(q, img)
+        np.testing.assert_array_equal(upstream_logits, ours)
+        assert abs(float(parts[-1]) - density) < 5e-10
+
+
+def test_upstream_etiny_bit_exact(rng, tmp_path):
+    q = random_quantized_etiny(rng)
+    model = tmp_path / "m.etiny"
+    write_etiny(q, model)
+    for _ in range(3):
+        img = rng.random((32, 32, 3), dtype=np.float32).astype(np.float32)
+        img_path = tmp_path / "img.bin"
+        img.tofile(img_path)
+        r = subprocess.run(
+            [str(REF_DIR / "etinynet_inference"), str(model), str(img_path),
+             "32", "32"],
+            capture_output=True, text=True, timeout=30,
+        )
+        assert r.returncode == 0, r.stderr
+        upstream = np.array(
+            [float(l.split(":")[1]) for l in r.stdout.splitlines()
+             if l.startswith("RESULT_")],
+            np.float32,
+        )
+        np.testing.assert_array_equal(upstream, etiny_forward_np(q, img))
