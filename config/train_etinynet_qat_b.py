@@ -36,3 +36,5 @@ keep_alive = False
 log_dir = "logs"
 project_name = "etinynet_qat_b"
 compiled_backend = "sim"
+
+synthetic_size = 20000

@@ -70,6 +70,7 @@ def build_model(config: Any, model_type: str, rng: jax.Array):
             num_classes=config.num_classes,
             input_size=input_size,
             qat=getattr(config, "qat", False),
+            dtype=getattr(config, "dtype", "float32"),
         )
         params = nnue_init(rng, model_cfg)
         return params, None, model_cfg

@@ -86,6 +86,23 @@ def test_etiny_engine_friendly_agreement(rng):
         assert rel < 0.1, f"sample {i}: relative logit error {rel}"
 
 
+def test_nnue_quantize_dequantize_idempotent(rng):
+    """quantize → dequantize → quantize reproduces identical integers."""
+    from nnue_vision_tpu.models.nnue import nnue_from_quantized
+
+    cfg = NNUEConfig(feature_set=GridFeatureSet(4, 4), l1_size=16, l2_size=8,
+                     l3_size=4, num_classes=3, input_size=16)
+    params = nnue_init(jax.random.PRNGKey(0), cfg)
+    q1 = nnue_quantize(params, cfg)
+    p2, cfg2 = nnue_from_quantized(q1)
+    q2 = nnue_quantize(p2, cfg2)
+    for name in ("conv", "ft", "fc1", "fc2", "out"):
+        a, b = getattr(q1, name), getattr(q2, name)
+        np.testing.assert_array_equal(a.weight, b.weight)
+        np.testing.assert_array_equal(a.bias, b.bias)
+    assert q2.visual_threshold == pytest.approx(q1.visual_threshold, rel=1e-6)
+
+
 def test_etiny_faithful_scales_in_file(rng, tmp_path):
     """The serialized scales carry the faithful scheme."""
     cfg = EtinyNetConfig(variant="micro", num_classes=10, input_size=32)
