@@ -49,3 +49,9 @@ compiled_backend = "sim"
 print("NNUE production config loaded:")
 print(f"  batch={batch_size} l1={l1_size} epochs={max_epochs} "
       f"lr={learning_rate} aug={augmentation_strength}")
+
+# Deployment-grade training: fake-quantize to the engine's exact arithmetic
+# so serialized int8 accuracy equals float accuracy.
+qat = True
+# air-gapped hosts: synthetic fallback training-set size
+synthetic_size = 20000
