@@ -22,7 +22,7 @@ max_samples_per_split = None
 
 # Adam handles the noisy straight-through-quantizer gradients far better
 # than SGD here (measured: SGD plateaus near chance, Adam learns).
-learning_rate = 2e-3
+learning_rate = 8e-4
 weight_decay = 1e-4
 momentum = 0.9
 optimizer_type = "adam"

@@ -15,7 +15,7 @@ num_classes = 10
 subset = 1.0
 max_samples_per_split = None
 
-learning_rate = 2e-3
+learning_rate = 8e-4
 weight_decay = 1e-4
 momentum = 0.9
 optimizer_type = "adam"
