@@ -94,3 +94,31 @@ def test_sharded_step_matches_single_device(rng):
 def test_mesh_too_many_devices_rejected():
     with pytest.raises(ValueError):
         make_mesh(1024)
+
+
+def test_sharded_int8_inference_matches_single_device(rng):
+    """Serving at scale: the bit-exact int8 sim shards over the data mesh
+    and produces identical logits to the single-device run."""
+    from nnue_vision_tpu.ops.engine_sim import (
+        nnue_engine_forward,
+        nnue_sim_params,
+    )
+    from tests.conftest import random_quantized_nnue
+
+    q = random_quantized_nnue(rng, grid=4, ch=4, l1=16, l2=8, l3=4,
+                              num_classes=3)
+    params, cfg = nnue_sim_params(q)
+    images = rng.random((16, 12, 12, 3), dtype=np.float32).astype(np.float32)
+
+    ref_logits, _, ref_count = nnue_engine_forward(
+        params, jnp.asarray(images), cfg=cfg, image_h=12, image_w=12
+    )
+
+    mesh = make_mesh(8)
+    sharded_images = shard_batch(mesh, images)
+    sharded_params = replicate(mesh, params)
+    logits, _, count = nnue_engine_forward(
+        sharded_params, sharded_images, cfg=cfg, image_h=12, image_w=12
+    )
+    np.testing.assert_array_equal(np.asarray(logits), np.asarray(ref_logits))
+    np.testing.assert_array_equal(np.asarray(count), np.asarray(ref_count))
