@@ -198,21 +198,40 @@ def train_model(
     max_epochs = getattr(config, "max_epochs", 1)
     best_val_f1 = 0.0
 
-    # Device-resident input pipeline: when the training set fits in HBM
-    # (and we're not sharding batches over a mesh), upload it ONCE and
-    # gather batches by index on device — per-step host traffic drops to a
-    # (B,) index vector.
+    # Device-resident input pipeline: when the training set fits in HBM,
+    # upload it ONCE and gather batches by index on device — per-step host
+    # traffic drops to a (B,) index vector. Under a data mesh the dataset is
+    # replicated across chips and the index arrays are sharded over the data
+    # axis, so each chip gathers only its batch shard from its local copy
+    # (GSPMD keeps the gather local; grads still psum over ICI).
     device_data = None
+    _shard_idx = lambda idx: idx  # noqa: E731 — identity off-mesh
     ds = train_loader.dataset
     dataset_bytes = ds.images.nbytes + ds.labels.nbytes
     max_resident = int(getattr(config, "device_resident_max_bytes", 4 << 30))
-    if mesh is None and dataset_bytes <= max_resident:
-        device_data = (
-            jax.device_put(ds.images),
-            jax.device_put(ds.labels),
-        )
+    if dataset_bytes <= max_resident:
+        if mesh is None:
+            device_data = (
+                jax.device_put(ds.images),
+                jax.device_put(ds.labels),
+            )
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            device_data = replicate(mesh, (ds.images, ds.labels))
+            _batch_shardings = {
+                1: NamedSharding(mesh, P("data")),       # (B,) single step
+                2: NamedSharding(mesh, P(None, "data")),  # (K, B) scan chunk
+            }
+
+            def _shard_idx(idx):
+                return jax.device_put(
+                    np.asarray(idx), _batch_shardings[np.ndim(idx)]
+                )
+
         early_log(
-            f"training set resident on device ({dataset_bytes / 1e6:.1f} MB)"
+            f"training set resident on device ({dataset_bytes / 1e6:.1f} MB"
+            + (f", replicated over {mesh.devices.size} chips)" if mesh else ")")
         )
 
     # Steps fused per device dispatch on the resident path (lax.scan);
@@ -241,7 +260,7 @@ def train_model(
                     if len(chunk) == steps_per_dispatch and len(chunk) > 1:
                         state, metrics = scanned_train_steps(
                             state, device_data[0], device_data[1],
-                            np.stack(chunk), aug_key,
+                            _shard_idx(np.stack(chunk)), aug_key,
                             model_type=model_type, model_cfg=model_cfg,
                             optimizer=optimizer, strength=strength,
                             augment=use_aug,
@@ -253,7 +272,7 @@ def train_model(
                             rng, k = jax.random.split(rng)
                             state, metrics = gathered_train_step(
                                 state, device_data[0], device_data[1],
-                                idx, k,
+                                _shard_idx(idx), k,
                                 model_type=model_type, model_cfg=model_cfg,
                                 optimizer=optimizer, strength=strength,
                                 augment=use_aug,

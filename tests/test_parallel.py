@@ -91,6 +91,103 @@ def test_sharded_step_matches_single_device(rng):
     )
 
 
+def test_scanned_sharded_pipeline_matches_single_device(rng):
+    """The device-resident fast pipeline under a data mesh (dataset
+    replicated, (K,B) index arrays sharded over the data axis) must produce
+    the same per-step losses and final params as the single-device scanned
+    path — this is the production multi-chip input pipeline
+    (training/loop.py un-gated in round 2, VERDICT r1 item 3)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from nnue_vision_tpu.training.step import scanned_train_steps
+
+    optimizer = create_optimizer(OptCfg(), steps_per_epoch=4)
+    params = nnue_init(jax.random.PRNGKey(0), CFG)
+    n_data, k_steps, batch = 64, 4, 16
+    images = rng.random((n_data, 16, 16, 3), dtype=np.float32)
+    labels = rng.integers(0, 3, n_data).astype(np.int64)
+    idx = rng.integers(0, n_data, (k_steps, batch))
+    key = jax.random.PRNGKey(7)
+
+    # single device
+    state1 = make_train_state(params, optimizer)
+    state1, m1 = scanned_train_steps(
+        state1, jnp.asarray(images), jnp.asarray(labels), jnp.asarray(idx),
+        key, model_type="nnue", model_cfg=CFG, optimizer=optimizer,
+        strength="light", augment=False,
+    )
+
+    # 8-device mesh: replicated data, sharded indices
+    mesh = make_mesh(8)
+    state8 = replicate(mesh, make_train_state(params, optimizer))
+    dev_images, dev_labels = replicate(mesh, (images, labels))
+    idx_sharded = jax.device_put(idx, NamedSharding(mesh, P(None, "data")))
+    state8, m8 = scanned_train_steps(
+        state8, dev_images, dev_labels, idx_sharded, key,
+        model_type="nnue", model_cfg=CFG, optimizer=optimizer,
+        strength="light", augment=False,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(m1["loss"]), np.asarray(m8["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(state1.params["fc1_w"]), np.asarray(state8.params["fc1_w"]),
+        rtol=1e-5, atol=1e-7,
+    )
+
+
+def test_train_model_uses_fast_pipeline_on_mesh(tmp_path, monkeypatch):
+    """End-to-end: train_model on 8 virtual devices takes the device-resident
+    scanned path (not the per-step host-feed fallback) and finishes green."""
+    import nnue_vision_tpu.training.loop as loop_mod
+
+    calls = {"scanned": 0}
+    real_scanned = loop_mod.scanned_train_steps
+
+    def counting_scanned(*a, **kw):
+        calls["scanned"] += 1
+        return real_scanned(*a, **kw)
+
+    monkeypatch.setattr(loop_mod, "scanned_train_steps", counting_scanned)
+    monkeypatch.setenv("NV_SKIP_ENGINE", "1")
+
+    class Cfg:
+        name = "mesh-fast-pipeline-test"
+        project_name = "test"
+        dataset_name = "synthetic"
+        batch_size = 16
+        num_workers = 0
+        max_epochs = 1
+        synthetic_size = 64
+        grid_size = 4
+        num_features_per_square = 4
+        l1_size = 16
+        l2_size = 8
+        l3_size = 4
+        num_classes = 10  # synthetic dataset emits 10 classes
+        input_size = 32   # ... of 32×32 images
+        learning_rate = 0.005
+        weight_decay = 0.0
+        momentum = 0.9
+        optimizer_type = "sgd"
+        max_grad_norm = 1.0
+        use_cosine_scheduler = False
+        decay_lr = False
+        use_cyclical_lr = False
+        use_augmentation = False
+        augmentation_strength = "light"
+        steps_per_dispatch = 2
+        keep_alive = True
+        log_dir = str(tmp_path)
+        seed = 0
+
+    assert loop_mod.train_model(Cfg(), "nnue") == 0
+    assert calls["scanned"] > 0, (
+        "multi-device training fell back to the slow host-feed path"
+    )
+
+
 def test_mesh_too_many_devices_rejected():
     with pytest.raises(ValueError):
         make_mesh(1024)
