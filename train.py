@@ -41,9 +41,19 @@ def setup_argument_parser() -> argparse.ArgumentParser:
                         choices=["0.75", "1.0", "0.98M", "micro"],
                         help="EtinyNet variant")
     parser.add_argument("--dataset_name", type=str,
-                        choices=["cifar10", "cifar100", "imagenet", "synthetic"],
+                        choices=["cifar10", "cifar100", "imagenet", "synthetic",
+                                 "synthetic-hard"],
                         help="Dataset to use")
     parser.add_argument("--num_classes", type=int, help="Number of classes")
+    # Multi-host (DCN) surface: every host runs the same command with its
+    # own --process-id; omit all three on real TPU pods for auto-discovery
+    # (parallel/distributed.py; SURVEY.md §2.15 DCN row).
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="host:port of process 0 for jax.distributed")
+    parser.add_argument("--num-hosts", type=int, default=None,
+                        help="Total number of participating host processes")
+    parser.add_argument("--process-id", type=int, default=None,
+                        help="This host's index in [0, num-hosts)")
     return parser
 
 
@@ -74,6 +84,18 @@ def main() -> int:
     if os.environ.get("NV_REQUIRE_WANDB") == "1" and not os.getenv("WANDB_API_KEY"):
         early_log("Error: WANDB_API_KEY required (NV_REQUIRE_WANDB=1)")
         return 1
+
+    # Must run before anything touches a JAX backend.
+    if args.coordinator or args.num_hosts or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    ):
+        from nnue_vision_tpu.parallel.distributed import initialize_distributed
+
+        initialize_distributed(
+            coordinator=args.coordinator,
+            num_processes=args.num_hosts,
+            process_id=args.process_id,
+        )
 
     try:
         config = load_and_setup_config(args, args.model_type)
