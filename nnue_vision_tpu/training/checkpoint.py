@@ -119,3 +119,85 @@ class CheckpointManager:
         path = self.dir / name
         save_checkpoint(path, **kwargs)
         return path
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (opt-in; pod-scale async step checkpoints)
+# ---------------------------------------------------------------------------
+#
+# The pickle format above stays the canonical artifact (serialize.py reads
+# it without JAX). Orbax adds what pickle can't do at pod scale
+# (ROADMAP #8 / VERDICT r1 item 10): ASYNC saves that overlap training,
+# sharding-aware restore on multi-host meshes, and retention-managed step
+# checkpoints for resume. Opt in with `config.checkpoint_backend="orbax"`.
+
+
+class OrbaxStepCheckpointer:
+    """Async, retention-managed step checkpoints via Orbax.
+
+    Saves {"params", "opt_state", "batch_stats", "step"} per step index;
+    `save` returns immediately (the write happens in the background) and
+    `wait` / close blocks until durable. Metadata (model_type/config/
+    metrics) travels as a JSON-able dict item alongside the pytree.
+    """
+
+    def __init__(self, directory: Path, max_to_keep: int = 3):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.dir = Path(directory).resolve()
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, enable_async_checkpointing=True
+            ),
+        )
+
+    def save(self, step: int, *, params, opt_state=None, batch_stats=None,
+             metadata: Optional[Dict[str, Any]] = None) -> None:
+        args = self._ocp.args.Composite(
+            state=self._ocp.args.StandardSave(
+                {
+                    "params": params,
+                    "opt_state": opt_state,
+                    "batch_stats": batch_stats,
+                }
+            ),
+            metadata=self._ocp.args.JsonSave(metadata or {}),
+        )
+        self.manager.save(step, args=args)
+
+    def restore(self, step: Optional[int] = None, target=None):
+        """Returns ({"params","opt_state","batch_stats"}, metadata dict).
+
+        Pass `target` (a live {"params","opt_state","batch_stats"} pytree)
+        to restore into the exact structure/shardings — required to get
+        optax NamedTuple states back instead of plain nests.
+        """
+        step = self.manager.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no orbax checkpoints under {self.dir}")
+        restore_args = (
+            self._ocp.args.StandardRestore(target)
+            if target is not None
+            else self._ocp.args.StandardRestore()
+        )
+        restored = self.manager.restore(
+            step,
+            args=self._ocp.args.Composite(
+                state=restore_args,
+                metadata=self._ocp.args.JsonRestore(),
+            ),
+        )
+        return restored["state"], restored["metadata"]
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def wait(self) -> None:
+        self.manager.wait_until_finished()
+
+    def close(self) -> None:
+        self.manager.wait_until_finished()
+        self.manager.close()

@@ -125,6 +125,20 @@ def train_model(
     manager = ckpt.CheckpointManager(
         getattr(config, "log_dir", "logs"), run.name, run=run
     )
+    # Opt-in Orbax async step checkpoints (pod-scale: saves overlap
+    # training, restores are sharding-aware). The pickle best-model file
+    # above remains the canonical serialize.py-readable artifact.
+    orbax_ckpt = None
+    if getattr(config, "checkpoint_backend", "pickle") == "orbax":
+        from pathlib import Path
+
+        orbax_dir = getattr(config, "orbax_dir", None) or (
+            Path(getattr(config, "log_dir", "logs")) / "orbax" / run.name
+        )
+        orbax_ckpt = ckpt.OrbaxStepCheckpointer(
+            orbax_dir, max_to_keep=int(getattr(config, "orbax_max_to_keep", 3))
+        )
+        early_log(f"orbax async checkpoints → {orbax_ckpt.dir}")
 
     train_loader, val_loader, test_loader = create_data_loaders(
         dataset_name=getattr(config, "dataset_name", "cifar10"),
@@ -198,6 +212,28 @@ def train_model(
     max_epochs = getattr(config, "max_epochs", 1)
     best_val_f1 = 0.0
 
+    start_epoch = 0
+    if orbax_ckpt is not None and getattr(config, "resume", False):
+        latest = orbax_ckpt.latest_step()
+        if latest is not None:
+            restored, meta = orbax_ckpt.restore(
+                latest,
+                target={
+                    "params": state.params,
+                    "opt_state": state.opt_state,
+                    "batch_stats": state.batch_stats,
+                },
+            )
+            state = state._replace(
+                params=restored["params"],
+                opt_state=restored["opt_state"],
+                batch_stats=restored["batch_stats"],
+            )
+            start_epoch = int(meta.get("epoch", latest)) + 1
+            early_log(
+                f"resumed from orbax step {latest} → epoch {start_epoch}"
+            )
+
     # Device-resident input pipeline: when the training set fits in HBM,
     # upload it ONCE and gather batches by index on device — per-step host
     # traffic drops to a (B,) index vector. Under a data mesh the dataset is
@@ -244,7 +280,7 @@ def train_model(
     profile_dir = getattr(config, "profile_dir", None)
 
     try:
-        for epoch in range(max_epochs):
+        for epoch in range(start_epoch, max_epochs):
             if profile_dir and epoch == 0:
                 jax.profiler.start_trace(str(profile_dir))
             epoch_start = time.perf_counter()
@@ -365,6 +401,20 @@ def train_model(
                 f"density {compiled_metrics.get('latent_density', 0.0):.4f}"
             )
 
+            if orbax_ckpt is not None:
+                # async: returns immediately, write overlaps the next epoch
+                orbax_ckpt.save(
+                    epoch,
+                    params=state.params,
+                    opt_state=state.opt_state,
+                    batch_stats=state.batch_stats,
+                    metadata={
+                        "model_type": model_type,
+                        "epoch": epoch,
+                        "val_f1": float(val_metrics["f1"]),
+                    },
+                )
+
             if val_metrics["f1"] > best_val_f1:
                 best_val_f1 = val_metrics["f1"]
                 manager.save_best(
@@ -388,6 +438,8 @@ def train_model(
             f"acc {test_metrics['acc']:.4f}"
         )
     finally:
+        if orbax_ckpt is not None:
+            orbax_ckpt.close()  # block until async writes are durable
         run.finish()
         if not getattr(config, "keep_alive", False):
             stop_cloud("training finished")
