@@ -141,17 +141,66 @@ void test_incremental_matches_refresh() {
   CHECK(nv::nnue_head(net, acc) == nv::nnue_head(net, full));
 }
 
-void test_head_arithmetic() {
-  // hand-built minimal head: verify pairwise (a*b)/128 clamp semantics
+void test_head_arithmetic_exact() {
+  // Hand-computed head on a directly-built net (l1=4, l2=2, l3=2, 2
+  // classes):
+  //   acc [100,50,100,-20] → clip a=[100,50], b=[100,0]
+  //   pairwise = [10000/128=78, 0, 100, 50]
+  //   fc1 (scale 64, b=[64,0], rows [1,1,1,1] / [-1,0,2,0]):
+  //     h1 = [tdiv(64+228,64), tdiv(122,64)] = [4, 1]
+  //   fc2 (scale 2, b=[0,100], rows [10,20] / [-5,3]):
+  //     h2 = [tdiv(60,2), tdiv(83,2)] = [30, 41]
+  //   out (scale 4, b=[8,-8], rows [1,2] / [-1,1]):
+  //     logits = [(8+30+82)/4, (-8-30+41)/4] = [30.0, 0.75]
+  nv::NnueNet net;
+  net.l1 = 4; net.l2 = 2; net.l3 = 2;
+  net.num_classes = 2;
+  net.quantized_one = 127.f;
+  net.fc1_scale = 64.f; net.fc2_scale = 2.f; net.out_scale = 4.f;
+  net.fc1_w = {1, 1, 1, 1, -1, 0, 2, 0};
+  net.fc1_b = {64, 0};
+  net.fc2_w = {10, 20, -5, 3};
+  net.fc2_b = {0, 100};
+  net.out_w = {1, 2, -1, 1};
+  net.out_b = {8, -8};
+  const auto logits = nv::nnue_head(net, {100, 50, 100, -20});
+  CHECK(logits.size() == 2);
+  CHECK(logits[0] == 30.0f);
+  CHECK(logits[1] == 0.75f);
+}
+
+void test_loader_rejections() {
+  const std::string good = tiny_nnue_bytes();
+  auto throws = [](const std::string& bytes) {
+    std::istringstream in(bytes);
+    try {
+      nv::load_nnue(in);
+    } catch (const std::exception&) {
+      return true;
+    }
+    return false;
+  };
+  CHECK(!throws(good));
+  CHECK(throws(good.substr(0, good.size() - 7)));  // truncated tail
+  CHECK(throws(good.substr(0, 20)));               // mid-header cut
+  std::string bad_version = good;
+  bad_version[4] = 9;
+  CHECK(throws(bad_version));                      // unsupported version
+}
+
+void test_refresh_accumulator_exact() {
+  // FT weights from tiny_nnue_bytes: w[f*l1 + j] = (f*l1+j) % 7 - 3,
+  // bias 10. features {1, 3} → acc[j] = 10 + w(1,j) + w(3,j).
   std::istringstream in(tiny_nnue_bytes());
   nv::NnueNet net = nv::load_nnue(in);
-  std::vector<int16_t> acc(net.l1);
-  acc[0] = 100; acc[1] = 50;   // first half
-  acc[2] = 100; acc[3] = -20;  // second half
-  // after clip: a=[100,50], b=[100,0]; pairwise=[min(127,78),0,100,50]
-  const auto logits = nv::nnue_head(net, acc);
-  CHECK(logits.size() == 3);
-  for (float v : logits) CHECK(std::isfinite(v));
+  std::vector<int16_t> acc;
+  nv::nnue_refresh_accumulator(net, {1, 3}, acc);
+  CHECK(acc.size() == size_t(net.l1));
+  for (int j = 0; j < net.l1; ++j) {
+    const int w1 = (1 * net.l1 + j) % 7 - 3;
+    const int w3 = (3 * net.l1 + j) % 7 - 3;
+    CHECK(acc[j] == int16_t(10 + w1 + w3));
+  }
 }
 
 }  // namespace
@@ -162,7 +211,9 @@ int main() {
   test_loader_and_eval();
   test_bad_magic_rejected();
   test_incremental_matches_refresh();
-  test_head_arithmetic();
+  test_head_arithmetic_exact();
+  test_loader_rejections();
+  test_refresh_accumulator_exact();
   if (failures == 0) std::printf("ALL ENGINE TESTS PASSED\n");
   return failures == 0 ? 0 : 1;
 }
