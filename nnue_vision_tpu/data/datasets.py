@@ -19,6 +19,7 @@ TPU-first differences:
 
 from __future__ import annotations
 
+import os
 import pickle
 import tarfile
 from pathlib import Path
@@ -90,6 +91,68 @@ def default_data_root() -> Path:
     if Path("/runpod-volume").exists():
         return Path("/runpod-volume/datasets")
     return Path("./data/raw")
+
+
+# Download support (upstream delegates to torchvision, datasets.py:376-404;
+# here a plain urllib fetch with checksum + extraction). Disabled with
+# NV_NO_DOWNLOAD=1; failures (air-gapped hosts) degrade to the synthetic
+# fallback with a log line, never an exception.
+CIFAR_DOWNLOADS: Dict[str, Tuple[str, str]] = {
+    "cifar10": (
+        "https://www.cs.toronto.edu/~kriz/cifar-10-python.tar.gz",
+        "c58f30108f718f92721af3b95e74349a",
+    ),
+    "cifar100": (
+        "https://www.cs.toronto.edu/~kriz/cifar-100-python.tar.gz",
+        "eb9058c3a382ffc7106e4002c42a8d85",
+    ),
+}
+
+
+_failed_downloads: set = set()
+
+
+def download_cifar(name: str, root: Path, timeout: float = 15.0) -> bool:
+    """Fetch + verify + extract a CIFAR archive under `root`.
+
+    Returns True on success. Any failure (no network, bad checksum, disk)
+    logs and returns False — callers fall back to synthetic data. A failed
+    name is not retried within the process (air-gapped hosts must not pay
+    the timeout once per split).
+    """
+    import hashlib
+    import urllib.request
+
+    from nnue_vision_tpu.training.logging import early_log
+
+    if name not in CIFAR_DOWNLOADS or name in _failed_downloads:
+        return False
+    url, md5 = CIFAR_DOWNLOADS[name]
+    root = Path(root)
+    root.mkdir(parents=True, exist_ok=True)
+    archive = root / url.rsplit("/", 1)[1]
+    try:
+        if not archive.exists():
+            early_log(f"downloading {url} → {archive}")
+            tmp = archive.with_suffix(".part")
+            with urllib.request.urlopen(url, timeout=timeout) as resp, open(
+                tmp, "wb"
+            ) as out:
+                while chunk := resp.read(1 << 20):
+                    out.write(chunk)
+            tmp.rename(archive)
+        digest = hashlib.md5(archive.read_bytes()).hexdigest()
+        if digest != md5:
+            early_log(f"{archive.name}: checksum {digest} != {md5}; discarding")
+            archive.unlink()
+            return False
+        with tarfile.open(archive) as tf:
+            tf.extractall(root)
+        return True
+    except Exception as e:  # noqa: BLE001 — degrade, never crash training
+        _failed_downloads.add(name)
+        early_log(f"download of {name} failed ({e}); using fallback data")
+        return False
 
 
 def _resize_bilinear(images: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
@@ -296,6 +359,11 @@ class GenericVisionDataset:
         loaded = None
         if dataset_name in ("cifar10", "cifar100"):
             loaded = _load_cifar_from_disk(self.data_root, dataset_name, is_train)
+            if loaded is None and os.environ.get("NV_NO_DOWNLOAD") != "1":
+                if download_cifar(dataset_name, self.data_root):
+                    loaded = _load_cifar_from_disk(
+                        self.data_root, dataset_name, is_train
+                    )
         elif dataset_name == "imagenet":
             loaded = self._load_imagefolder(is_train)
 

@@ -19,6 +19,8 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+os.environ.setdefault("NV_NO_DOWNLOAD", "1")  # air-gapped test runs
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
