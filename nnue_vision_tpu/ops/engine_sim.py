@@ -198,8 +198,11 @@ def nnue_engine_forward(
         and indexes `(h*W + w)*3 + c`).
 
     Returns:
-      (logits (B, num_classes) float32, density (B,) float32) — identical to
-      the `nnue_inference` CLI's CSV line per image.
+      (logits (B, num_classes) float32, density (B,) float32,
+      active_count (B,) int32) — logits and density are identical to the
+      `nnue_inference` CLI's CSV line per image; active_count is the exact
+      integer behind density (divide in numpy when 1-ULP-exact density is
+      needed, see note above).
     """
     s = cfg
     grid, ch = s.grid_size, s.channels
