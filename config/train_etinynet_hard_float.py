@@ -1,0 +1,48 @@
+"""EtinyNet unconstrained-float baseline for the standing accuracy benchmark on the difficulty-controlled
+synthetic-hard task (VERDICT r1 items 4+5).
+
+engine_friendly QAT on the calibrated non-saturating task: PARITY.md
+records float vs compiled (int8 engine) accuracy from this config, so the
+EtinyNet deployment gap is measured on a task where it can't hide at 1.0.
+"""
+
+name = "etinynet_hard_float"
+
+etinynet_variant = "micro"
+use_asq = False
+asq_bits = 4
+engine_friendly = False
+
+dataset_name = "synthetic-hard"
+synthetic_size = 20000
+batch_size = 256
+num_workers = 0
+input_size = (32, 32)
+num_classes = 10
+subset = 1.0
+max_samples_per_split = None
+
+# Adam handles the noisy straight-through-quantizer gradients far better
+# than SGD here (measured round 1: SGD plateaus near chance, Adam learns).
+learning_rate = 8e-4
+weight_decay = 1e-4
+momentum = 0.9
+optimizer_type = "adam"
+max_epochs = 40
+max_grad_norm = 1.0
+use_cosine_scheduler = True
+decay_lr = True
+use_cyclical_lr = False
+cyclical_lr_period = 1000
+cyclical_lr_amplitude = 0.1
+
+use_augmentation = True
+augmentation_strength = "light"
+steps_per_dispatch = 26
+
+seed = 42
+deterministic = False
+keep_alive = False
+log_dir = "logs"
+project_name = "etinynet_hard_float"
+compiled_backend = "sim"

@@ -247,6 +247,30 @@ def _ste(x, quantized):
     return x + jax.lax.stop_gradient(quantized - x)
 
 
+def _wq_folded(w_hwio, norm_p, norm_s, scale: float):
+    """Weight fake-quantization on the SERIALIZER's int8 grid, as folded.
+
+    The serializer quantizes the norm-folded weight w·k at `scale`
+    (quantize.py:22-26 — round, clip ±127); training that never saw this
+    rounding pays an accuracy gap at deployment. Here the conv uses
+    ŵ = clip(round(w·k·scale))/scale / k with a straight-through gradient,
+    so engine_friendly training optimizes the EXACT deployed weights. k is
+    the per-out-channel norm gain from the RUNNING statistics (what the
+    serializer folds); bias rounding (int32 at scale ≥1024) is negligible
+    and not modeled.
+    """
+    k = norm_p["scale"] * jax.lax.rsqrt(norm_s["var"] + BN_EPS)
+    k = jax.lax.stop_gradient(k).reshape((1, 1, 1, -1))  # out-ch is last (HWIO)
+    q = jnp.clip(jnp.round(w_hwio * k * scale), -127.0, 127.0) / (scale * k)
+    return w_hwio + jax.lax.stop_gradient(q - w_hwio)
+
+
+def _wq_plain(w, scale: float):
+    """Plain int8-grid fake-quantization (classifier: no norm to fold)."""
+    q = jnp.clip(jnp.round(w * scale), -127.0, 127.0) / scale
+    return w + jax.lax.stop_gradient(q - w)
+
+
 def _q_relu6_int(x):
     """Engine activation: clamp(trunc(u), 0, 6) — 7 integer levels."""
     return _ste(x, jnp.clip(jnp.floor(jnp.clip(x, 0.0, 6.0)), 0.0, 6.0))
@@ -288,7 +312,12 @@ def etinynet_apply(
     x = images.astype(dtype)
     new_state: Dict = {"blocks": []}
 
-    x = _conv(x, params["stem_w"].astype(dtype), stride=2)
+    stem_w = params["stem_w"]
+    if ef:
+        # train on the serializer's exact int8 weight grids (scales from
+        # etinynet_quantize: stem 16, everything else 64)
+        stem_w = _wq_folded(stem_w, params["stem_bn"], state["stem_bn"], 16.0)
+    x = _conv(x, stem_w.astype(dtype), stride=2)
     x, new_state["stem_bn"] = _batch_norm(x, params["stem_bn"], state["stem_bn"], train)
     # engine stem has no activation — its output is clamped ±127 ints at
     # 16·v; the reference model's ReLU6 here is replaced by the boundary
@@ -302,13 +331,18 @@ def etinynet_apply(
     ):
         identity = x
         ns = {}
-        h = _conv(x, bp["pw_expand_w"].astype(dtype))
+        pw_e_w, dw_w, pw_p_w = bp["pw_expand_w"], bp["dw_w"], bp["pw_project_w"]
+        if ef:
+            pw_e_w = _wq_folded(pw_e_w, bp["bn1"], bs["bn1"], 64.0)
+            dw_w = _wq_folded(dw_w, bp["bn2"], bs["bn2"], 64.0)
+            pw_p_w = _wq_folded(pw_p_w, bp["bn3"], bs["bn3"], 64.0)
+        h = _conv(x, pw_e_w.astype(dtype))
         h, ns["bn1"] = _batch_norm(h, bp["bn1"], bs["bn1"], train)
         h = _q_relu6_round(h) if ef else jnp.clip(h, 0.0, 6.0)
-        h = _conv(h, bp["dw_w"].astype(dtype), stride=stride, groups=mid)
+        h = _conv(h, dw_w.astype(dtype), stride=stride, groups=mid)
         h, ns["bn2"] = mid_norm(h, bp["bn2"], bs["bn2"], train)
         h = _q_relu6_int(h) if ef else jnp.clip(h, 0.0, 6.0)
-        h = _conv(h, bp["pw_project_w"].astype(dtype))
+        h = _conv(h, pw_p_w.astype(dtype))
         h, ns["bn3"] = mid_norm(h, bp["bn3"], bs["bn3"], train)
         if ef:
             h = _q_grid16(h)
@@ -327,12 +361,17 @@ def etinynet_apply(
         new_state["blocks"].append(ns)
         x = h
 
-    x = _conv(x, params["final_w"].astype(dtype))
+    final_w = params["final_w"]
+    cls_w = params["cls_w"]
+    if ef:
+        final_w = _wq_folded(final_w, params["final_bn"], state["final_bn"], 64.0)
+        cls_w = _wq_plain(cls_w, 64.0)
+    x = _conv(x, final_w.astype(dtype))
     x, new_state["final_bn"] = _batch_norm(x, params["final_bn"], state["final_bn"], train)
     x = _q_relu6_round(x) if ef else jnp.clip(x, 0.0, 6.0)
     x = x.mean(axis=(1, 2))  # global average pool
 
-    logits = x @ params["cls_w"].T.astype(dtype) + params["cls_b"].astype(dtype)
+    logits = x @ cls_w.T.astype(dtype) + params["cls_b"].astype(dtype)
     return logits.astype(jnp.float32), new_state
 
 
