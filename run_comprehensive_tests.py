@@ -18,6 +18,8 @@ SUITES = [
     ("benchmarks", ["tests/test_benchmarks.py"]),
     ("training", ["tests/test_training.py"]),
     ("parallel", ["tests/test_parallel.py"]),
+    ("distributed", ["tests/test_distributed.py"]),
+    ("checkpoint/orbax", ["tests/test_checkpoint_orbax.py"]),
 ]
 
 
