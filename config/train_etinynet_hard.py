@@ -12,6 +12,11 @@ etinynet_variant = "micro"
 use_asq = False
 asq_bits = 4
 engine_friendly = True
+# Progressive quantization: engine_friendly training from scratch is
+# unstable (round-2 measurement: peaks ~0.36 mid-run, collapses to 0.27);
+# train the unconstrained float model first (reaches ~0.87 by epoch 25),
+# then fine-tune the engine_friendly function from that solution.
+ef_warmup_epochs = 25
 
 dataset_name = "synthetic-hard"
 synthetic_size = 20000

@@ -212,6 +212,26 @@ def train_model(
     max_epochs = getattr(config, "max_epochs", 1)
     best_val_f1 = 0.0
 
+    # Progressive quantization (VERDICT r1 item 5): engine_friendly training
+    # from scratch is unstable (straight-through quantizers + cold BN
+    # statistics); with ef_warmup_epochs=W the first W epochs train the
+    # unconstrained float model, then training switches to the
+    # engine_friendly function and fine-tunes it — the quantized model
+    # starts from the strong float solution instead of noise. Params/stats
+    # structures are shared between modes, so the switch is a config swap
+    # (one re-trace), not a restart.
+    ef_warmup = int(getattr(config, "ef_warmup_epochs", 0))
+    warm_cfg = model_cfg
+    if ef_warmup > 0 and getattr(model_cfg, "engine_friendly", False):
+        import dataclasses as _dc
+
+        warm_cfg = _dc.replace(model_cfg, engine_friendly=False)
+    else:
+        ef_warmup = 0
+
+    def cfg_for(epoch: int):
+        return warm_cfg if epoch < ef_warmup else model_cfg
+
     start_epoch = 0
     if orbax_ckpt is not None and getattr(config, "resume", False):
         latest = orbax_ckpt.latest_step()
@@ -297,7 +317,7 @@ def train_model(
                         state, metrics = scanned_train_steps(
                             state, device_data[0], device_data[1],
                             _shard_idx(np.stack(chunk)), aug_key,
-                            model_type=model_type, model_cfg=model_cfg,
+                            model_type=model_type, model_cfg=cfg_for(epoch),
                             optimizer=optimizer, strength=strength,
                             augment=use_aug,
                         )
@@ -309,7 +329,7 @@ def train_model(
                             state, metrics = gathered_train_step(
                                 state, device_data[0], device_data[1],
                                 _shard_idx(idx), k,
-                                model_type=model_type, model_cfg=model_cfg,
+                                model_type=model_type, model_cfg=cfg_for(epoch),
                                 optimizer=optimizer, strength=strength,
                                 augment=use_aug,
                             )
@@ -334,7 +354,7 @@ def train_model(
                     )
                     state, metrics = train_step(
                         state, x, labels,
-                        model_type=model_type, model_cfg=model_cfg,
+                        model_type=model_type, model_cfg=cfg_for(epoch),
                         optimizer=optimizer,
                     )
                     loss = float(metrics["loss"])
@@ -362,21 +382,21 @@ def train_model(
 
             train_loss, train_metrics = evaluate_model(
                 state.params, state.batch_stats, train_loader,
-                model_type=model_type, model_cfg=model_cfg,
+                model_type=model_type, model_cfg=cfg_for(epoch),
             )
             val_loss, val_metrics = evaluate_model(
                 state.params, state.batch_stats, val_loader,
-                model_type=model_type, model_cfg=model_cfg,
+                model_type=model_type, model_cfg=cfg_for(epoch),
             )
             if compiled_backend == "engine":
                 compiled_metrics = evaluate_compiled_model(
                     state.params, state.batch_stats, val_loader,
-                    model_type=model_type, model_cfg=model_cfg,
+                    model_type=model_type, model_cfg=cfg_for(epoch),
                 )
             else:
                 compiled_metrics = evaluate_int8_sim(
                     state.params, state.batch_stats, val_loader,
-                    model_type=model_type, model_cfg=model_cfg,
+                    model_type=model_type, model_cfg=cfg_for(epoch),
                 )
 
             log_data = {
@@ -415,7 +435,10 @@ def train_model(
                     },
                 )
 
-            if val_metrics["f1"] > best_val_f1:
+            # during an ef warmup the float-phase model is not the
+            # deployable function — best-F1 checkpointing applies only to
+            # epochs training the final (engine_friendly) config
+            if epoch >= ef_warmup and val_metrics["f1"] > best_val_f1:
                 best_val_f1 = val_metrics["f1"]
                 manager.save_best(
                     model_type=model_type,
