@@ -98,6 +98,17 @@ class EtinyNetConfig:
     # (ReLU6 at 7 levels, 1/16-grid block boundaries). Serialized models
     # then evaluate in the engine with near-zero accuracy loss.
     engine_friendly: bool = False
+    # With engine_friendly=True and ef_quantizers=False the model keeps the
+    # engine STRUCTURE (scale-only norms, no residual/dense paths, the same
+    # clamp ranges) but stays continuous: no straight-through quantizers, no
+    # weight rounding. Params/state pytrees are identical to the quantized
+    # mode, so progressive quantization (training/loop.py ef_warmup_epochs)
+    # can warm up here and switch the quantizers on mid-run — the switch
+    # then perturbs only by rounding, not by changing the function family.
+    # Measured motivation: warming up on the UNCONSTRAINED float model and
+    # switching collapses to chance (the float net's BN biases and residual
+    # paths have no engine representation); warming up here does not.
+    ef_quantizers: bool = True
 
     @property
     def table(self) -> dict:
@@ -309,11 +320,16 @@ def etinynet_apply(
     """Forward: (B, H, W, 3) → (logits (B, classes), new batch_stats)."""
     dtype = jnp.dtype(cfg.dtype)
     ef = cfg.engine_friendly
+    # q: full quantized mode. ef without q = engine structure (scale-only
+    # norms, no residual/dense, engine clamp ranges) but continuous values —
+    # the progressive-quantization warmup function (see EtinyNetConfig).
+    q = ef and cfg.ef_quantizers
+    _grid16_lim = 127.0 / 16.0
     x = images.astype(dtype)
     new_state: Dict = {"blocks": []}
 
     stem_w = params["stem_w"]
-    if ef:
+    if q:
         # train on the serializer's exact int8 weight grids (scales from
         # etinynet_quantize: stem 16, everything else 64)
         stem_w = _wq_folded(stem_w, params["stem_bn"], state["stem_bn"], 16.0)
@@ -322,7 +338,12 @@ def etinynet_apply(
     # engine stem has no activation — its output is clamped ±127 ints at
     # 16·v; the reference model's ReLU6 here is replaced by the boundary
     # quantizer in engine_friendly mode.
-    x = _q_grid16(x) if ef else jnp.clip(x, 0.0, 6.0)
+    if q:
+        x = _q_grid16(x)
+    elif ef:
+        x = jnp.clip(x, -_grid16_lim, _grid16_lim)
+    else:
+        x = jnp.clip(x, 0.0, 6.0)
 
     specs = cfg.block_specs()
     mid_norm = _rms_norm if ef else _batch_norm
@@ -332,20 +353,22 @@ def etinynet_apply(
         identity = x
         ns = {}
         pw_e_w, dw_w, pw_p_w = bp["pw_expand_w"], bp["dw_w"], bp["pw_project_w"]
-        if ef:
+        if q:
             pw_e_w = _wq_folded(pw_e_w, bp["bn1"], bs["bn1"], 64.0)
             dw_w = _wq_folded(dw_w, bp["bn2"], bs["bn2"], 64.0)
             pw_p_w = _wq_folded(pw_p_w, bp["bn3"], bs["bn3"], 64.0)
         h = _conv(x, pw_e_w.astype(dtype))
         h, ns["bn1"] = _batch_norm(h, bp["bn1"], bs["bn1"], train)
-        h = _q_relu6_round(h) if ef else jnp.clip(h, 0.0, 6.0)
+        h = _q_relu6_round(h) if q else jnp.clip(h, 0.0, 6.0)
         h = _conv(h, dw_w.astype(dtype), stride=stride, groups=mid)
         h, ns["bn2"] = mid_norm(h, bp["bn2"], bs["bn2"], train)
-        h = _q_relu6_int(h) if ef else jnp.clip(h, 0.0, 6.0)
+        h = _q_relu6_int(h) if q else jnp.clip(h, 0.0, 6.0)
         h = _conv(h, pw_p_w.astype(dtype))
         h, ns["bn3"] = mid_norm(h, bp["bn3"], bs["bn3"], train)
-        if ef:
+        if q:
             h = _q_grid16(h)
+        elif ef:
+            h = jnp.clip(h, -_grid16_lim, _grid16_lim)
 
         use_residual = stride == 1 and in_c == out and not ef
         if use_residual:
@@ -363,12 +386,12 @@ def etinynet_apply(
 
     final_w = params["final_w"]
     cls_w = params["cls_w"]
-    if ef:
+    if q:
         final_w = _wq_folded(final_w, params["final_bn"], state["final_bn"], 64.0)
         cls_w = _wq_plain(cls_w, 64.0)
     x = _conv(x, final_w.astype(dtype))
     x, new_state["final_bn"] = _batch_norm(x, params["final_bn"], state["final_bn"], train)
-    x = _q_relu6_round(x) if ef else jnp.clip(x, 0.0, 6.0)
+    x = _q_relu6_round(x) if q else jnp.clip(x, 0.0, 6.0)
     x = x.mean(axis=(1, 2))  # global average pool
 
     logits = x @ cls_w.T.astype(dtype) + params["cls_b"].astype(dtype)

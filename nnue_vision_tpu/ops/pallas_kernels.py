@@ -1,17 +1,41 @@
 """Pallas TPU kernels for the NNUE hot path.
 
-`fused_nnue_head`: one kernel for the entire NNUE post-conv pipeline —
-threshold compare → feature-transformer matmul (MXU) → int16 wraparound →
-clipped ReLU → pairwise interaction → three dense layers → float logits +
-active-feature count. The XLA version materializes the (B, F) mask and the
-(B, L1) accumulator in HBM between ops; here every intermediate lives in
-VMEM for the whole batch tile, so HBM traffic is one read of the conv
-buffer + the weights and one write of the logits.
+One kernel runs the entire NNUE post-conv pipeline — conv epilogue
+(truncating /scale + clamp) → threshold compare → feature-transformer
+matmul (MXU) → int16 wraparound → clipped ReLU → pairwise interaction →
+three dense layers → float logits + active-feature count. The XLA version
+(ops/engine_sim.py) materializes the conv output, the (B, F) mask and the
+(B, L1) accumulator in HBM between fusions; here every intermediate lives
+in VMEM for the whole batch tile, so HBM traffic is one read of the raw
+conv accumulator + the weights (resident across tiles) and one write of
+the logits.
+
+Two structural optimizations over a naive fusion (both measured wins on a
+v5e):
+
+* **Trimmed contraction.** The engine writes the conv output flat into a
+  zero-filled grid²·C buffer (nnue_engine.cpp:679-683 upstream); when the
+  conv output is smaller than the grid, the trailing `n_pad` features are
+  the constant 0. Their effect is data-independent: if the threshold is
+  negative they are all active, contributing `sum(ft_w[FR:])` to every
+  accumulator and `n_pad` to every count; otherwise nothing. The kernel
+  contracts over the FR real features only and adds the precomputed
+  padding row-sum under a scalar flag — bit-identical, 800→512 less MXU
+  and VMEM for the flagship config.
+
+* **bf16 MXU feeds where exact.** A bf16 mantissa holds 9 significant
+  bits, so integers with |v| ≤ 512 cast to bf16 exactly, products of two
+  such values are exact in the MXU's f32 accumulation tree, and sums stay
+  exact below 2^24. Pairwise/dense activations are clamped to [0,127] and
+  dense weights are int8 by format, so those dots always qualify; the FT
+  dot qualifies whenever max|ft_w| ≤ 512 (every model this framework
+  serializes clips weights to ±1 at scale 64 → |w| ≤ 64; checked at
+  parameter-build time with an f32 fallback for foreign files).
 
 Bit-exactness contract is identical to ops/engine_sim.py (same integer
 semantics, computed in integer-valued f32 where exact, int32 where
-wraparound matters). Weights fit VMEM comfortably for the production model
-(FT 800×1024 f32 = 3.3 MB; everything else < 1 MB).
+wraparound matters), asserted in tests/test_pallas_kernels.py and — via
+engine_sim's own parity suite — against the C++ engine binaries.
 """
 
 from __future__ import annotations
@@ -29,9 +53,11 @@ from nnue_vision_tpu.ops.engine_sim import (
     NNUESimCfg,
     _int_conv3x3,
     _quantize_input,
-    _tdiv,
     engine_conv_stride,
 )
+
+# integers with |v| <= _BF16_EXACT cast to bfloat16 without rounding
+_BF16_EXACT = 512.0
 
 
 def _wrap_i16_i32(x: jnp.ndarray) -> jnp.ndarray:
@@ -39,15 +65,16 @@ def _wrap_i16_i32(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _head_kernel(
-    conv_ref,      # (TILE_B, F) f32 — int-valued conv output (padded grid)
+    acc_ref,       # (TILE_B, FR) f32 — int-valued conv accumulator or buffer
     thresh_ref,    # (1, 1) f32 SMEM
-    ft_w_ref,      # (F, L1) f32
+    padsum_ref,    # (1, L1) f32 — sum of FT rows for the n_pad zero features
+    ft_w_ref,      # (FR, L1) f32 or bf16
     ft_b_ref,      # (1, L1) f32
-    fc1_w_ref,     # (L1, L2) f32
+    fc1_w_ref,     # (L1, L2) bf16
     fc1_b_ref,     # (1, L2) f32
-    fc2_w_ref,     # (L2, L3) f32
+    fc2_w_ref,     # (L2, L3) bf16
     fc2_b_ref,     # (1, L3) f32
-    out_w_ref,     # (L3, C) f32
+    out_w_ref,     # (L3, C) bf16
     out_b_ref,     # (1, C) f32
     logits_ref,    # (TILE_B, C) f32
     count_ref,     # (TILE_B, 128) i32 (count broadcast in col 0)
@@ -57,77 +84,131 @@ def _head_kernel(
     s1: int,
     s2: int,
     out_scale: float,
+    conv_scale: int,
+    n_pad: int,
 ):
-    mask = (conv_ref[:] > thresh_ref[0, 0]).astype(jnp.float32)
+    x = acc_ref[:]
+    if conv_scale != 1:
+        # conv epilogue (nnue_engine.cpp:92): truncating /scale, clamp ±127.
+        # Exact: the scale is a power of two, so x/scale is exact in f32 and
+        # jnp.trunc rounds toward zero like C integer division.
+        x = jnp.clip(jnp.trunc(x * (1.0 / conv_scale)), -127.0, 127.0)
+
+    thr = thresh_ref[0, 0]
+    mask = x > thr
+    # the n_pad zero-valued padding features are active iff 0 > threshold
+    pad_active = (0.0 > thr).astype(jnp.float32)
     count_ref[:] = jnp.broadcast_to(
-        mask.sum(axis=1, keepdims=True).astype(jnp.int32), count_ref.shape
+        (
+            mask.sum(axis=1, keepdims=True).astype(jnp.float32)
+            + pad_active * np.float32(n_pad)
+        ).astype(jnp.int32),
+        count_ref.shape,
     )
 
-    # FT accumulate on the MXU; exact (≤ F·127 + bias < 2^24), then int16
+    # FT accumulate on the MXU; exact (≤ F·max|w| + bias < 2^24), then int16
     # wraparound + clipped ReLU (engine semantics).
-    ft = jnp.dot(mask, ft_w_ref[:], preferred_element_type=jnp.float32)
-    ft = ft + ft_b_ref[:]
+    ft = jnp.dot(
+        mask.astype(ft_w_ref.dtype),
+        ft_w_ref[:],
+        preferred_element_type=jnp.float32,
+    )
+    ft = ft + ft_b_ref[:] + pad_active * padsum_ref[:]
     ft = _wrap_i16_i32(ft.astype(jnp.int32))
     ft = jnp.clip(ft, 0, qone).astype(jnp.float32)
 
     # pairwise: trunc((a*b)/128) clamp [0,127]; concat with clamp(a).
+    # Values ≤ 127 → exact bf16 feeds for the dense stack.
     half = l1 // 2
     a = ft[:, :half]
     b = ft[:, half:]
     prod = jnp.clip(jnp.trunc(a * b * (1.0 / 128.0)), 0.0, 127.0)
-    pairwise = jnp.concatenate([prod, jnp.clip(a, 0.0, 127.0)], axis=1)
+    pairwise = jnp.concatenate(
+        [prod, jnp.clip(a, 0.0, 127.0)], axis=1
+    ).astype(fc1_w_ref.dtype)
 
     # fc1: trunc(acc / s1) clamp [0,127]  (s1 is a power of two → exact).
     h1 = jnp.dot(pairwise, fc1_w_ref[:], preferred_element_type=jnp.float32)
     h1 = jnp.clip(jnp.trunc((h1 + fc1_b_ref[:]) * (1.0 / s1)), 0.0, 127.0)
 
     # fc2: trunc(acc / s2) clamp ±127 then ReLU.
-    h2 = jnp.dot(h1, fc2_w_ref[:], preferred_element_type=jnp.float32)
+    h2 = jnp.dot(
+        h1.astype(fc2_w_ref.dtype), fc2_w_ref[:],
+        preferred_element_type=jnp.float32,
+    )
     h2 = jnp.clip(jnp.trunc((h2 + fc2_b_ref[:]) * (1.0 / s2)), -127.0, 127.0)
     h2 = jnp.maximum(h2, 0.0)
 
     # output layer: float logits acc / out_scale.
-    out = jnp.dot(h2, out_w_ref[:], preferred_element_type=jnp.float32)
+    out = jnp.dot(
+        h2.astype(out_w_ref.dtype), out_w_ref[:],
+        preferred_element_type=jnp.float32,
+    )
     logits_ref[:] = (out + out_b_ref[:]) * np.float32(1.0 / out_scale)
 
 
 def pallas_head_params(sim_params: Dict) -> Dict:
-    """Re-layout engine-sim params for the fused kernel (transposed dense
-    weights, 2-D biases)."""
+    """Re-layout engine-sim params for the fused kernel.
+
+    Dense weights transpose to (in, out) and cast to bf16 (int8 values are
+    always bf16-exact); the FT table casts to bf16 only when its values
+    fit the 9-bit-exact window, else stays f32 (slower multi-pass MXU but
+    still bit-exact). Biases stay f32, 2-D for TPU layout.
+    """
+    ft_w = sim_params["ft_w"].astype(jnp.float32)
+    ft_max = float(jnp.max(jnp.abs(ft_w)))
     return {
         "thresh": sim_params["visual_threshold"].reshape(1, 1),
-        "ft_w": sim_params["ft_w"].astype(jnp.float32),
+        "ft_w": ft_w.astype(jnp.bfloat16) if ft_max <= _BF16_EXACT else ft_w,
         "ft_b": sim_params["ft_b"].astype(jnp.float32).reshape(1, -1),
-        "fc1_w": sim_params["fc1_w"].astype(jnp.float32).T,
+        "fc1_w": sim_params["fc1_w"].astype(jnp.bfloat16).T,
         "fc1_b": sim_params["fc1_b"].astype(jnp.float32).reshape(1, -1),
-        "fc2_w": sim_params["fc2_w"].astype(jnp.float32).T,
+        "fc2_w": sim_params["fc2_w"].astype(jnp.bfloat16).T,
         "fc2_b": sim_params["fc2_b"].astype(jnp.float32).reshape(1, -1),
-        "out_w": sim_params["out_w"].astype(jnp.float32).T,
+        "out_w": sim_params["out_w"].astype(jnp.bfloat16).T,
         "out_b": sim_params["out_b"].astype(jnp.float32).reshape(1, -1),
     }
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "tile_b", "interpret")
+    jax.jit,
+    static_argnames=("cfg", "fr", "n_pad", "conv_scale", "tile_b", "interpret"),
 )
-def fused_nnue_head(
+def _fused_head_call(
     head_params: Dict,
-    conv_buf: jnp.ndarray,  # (B, F) f32, int-valued (padded grid buffer)
+    acc: jnp.ndarray,  # (B, FR) f32, int-valued
     *,
     cfg: NNUESimCfg,
-    tile_b: int = 256,
-    interpret: bool = False,
+    fr: int,
+    n_pad: int,
+    conv_scale: int,
+    tile_b: int,
+    interpret: bool,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(logits (B, C) f32, active_count (B,) i32) — bit-exact engine head."""
-    b, f = conv_buf.shape
+    b = acc.shape[0]
     l1 = cfg.l1
 
-    # pad batch to a tile multiple
+    if conv_scale != 1 and (conv_scale <= 0 or conv_scale & (conv_scale - 1)):
+        raise ValueError(
+            f"conv scale {conv_scale} is not a power of two; the fused "
+            "kernel's in-VMEM truncating division requires pow2 scales"
+        )
+
+    # the padding features' constant FT contribution (active iff thresh < 0)
+    ft_w = head_params["ft_w"]
+    ft_w_real = ft_w[:fr]
+    if n_pad:
+        padsum = jnp.sum(
+            ft_w[fr:].astype(jnp.float32), axis=0, keepdims=True
+        )
+    else:
+        padsum = jnp.zeros((1, l1), jnp.float32)
+
     tile_b = min(tile_b, max(8, b))
     pad_b = (-b) % tile_b
     if pad_b:
-        conv_buf = jnp.pad(conv_buf, ((0, pad_b), (0, 0)))
-    bp = conv_buf.shape[0]
+        acc = jnp.pad(acc, ((0, pad_b), (0, 0)))
+    bp = acc.shape[0]
 
     kernel = functools.partial(
         _head_kernel,
@@ -136,6 +217,8 @@ def fused_nnue_head(
         s1=cfg.fc1_scale,
         s2=cfg.fc2_scale,
         out_scale=cfg.out_scale,
+        conv_scale=conv_scale,
+        n_pad=n_pad,
     )
 
     n_tiles = bp // tile_b
@@ -144,10 +227,11 @@ def fused_nnue_head(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((tile_b, f), lambda i: (i, 0),
+            pl.BlockSpec((tile_b, fr), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
-            pl.BlockSpec((f, l1), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l1), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((fr, l1), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, l1), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((l1, cfg.l2), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cfg.l2), full, memory_space=pltpu.VMEM),
@@ -169,9 +253,10 @@ def fused_nnue_head(
         ),
         interpret=interpret,
     )(
-        conv_buf,
+        acc,
         head_params["thresh"],
-        head_params["ft_w"],
+        padsum,
+        ft_w_real,
         head_params["ft_b"],
         head_params["fc1_w"],
         head_params["fc1_b"],
@@ -183,8 +268,31 @@ def fused_nnue_head(
     return logits[:b], count[:b, 0]
 
 
+def fused_nnue_head(
+    head_params: Dict,
+    conv_buf: jnp.ndarray,  # (B, F) f32, int-valued (padded grid buffer)
+    *,
+    cfg: NNUESimCfg,
+    tile_b: int = 1024,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(logits (B, C) f32, active_count (B,) i32) — bit-exact engine head.
+
+    Takes the already-clipped, zero-padded grid buffer (the engine's
+    post-conv state); contraction runs over all F features. Prefer
+    `nnue_engine_forward_fused`, which feeds the raw conv accumulator and
+    trims the padding columns out of the matmul.
+    """
+    f = conv_buf.shape[1]
+    return _fused_head_call(
+        head_params, conv_buf, cfg=cfg, fr=f, n_pad=0, conv_scale=1,
+        tile_b=tile_b, interpret=interpret,
+    )
+
+
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "image_h", "image_w", "interpret")
+    jax.jit, static_argnames=("cfg", "image_h", "image_w", "interpret",
+                              "tile_b")
 )
 def nnue_engine_forward_fused(
     sim_params: Dict,
@@ -194,26 +302,33 @@ def nnue_engine_forward_fused(
     cfg: NNUESimCfg,
     image_h: int,
     image_w: int,
+    tile_b: int = 1024,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full bit-exact NNUE int8 inference with the Pallas fused head.
 
     Same contract as engine_sim.nnue_engine_forward: (logits, density,
-    active_count). The conv frontend stays on the XLA conv unit; everything
-    after it is one Pallas kernel.
+    active_count). The conv frontend stays on the XLA conv unit (f32 —
+    exact for any input below the 2^24 integer window, no input-range
+    precondition); the raw int-valued accumulator feeds the kernel, which
+    owns the epilogue, threshold, padding constant, and the whole head.
     """
     stride = engine_conv_stride(image_h, cfg.grid_size)
     qin = _quantize_input(images, cfg.conv_scale)
-    acc = _int_conv3x3(qin, sim_params["conv_w"], sim_params["conv_b"], stride)
-    conv_out = jnp.clip(_tdiv(acc, cfg.conv_scale), -127, 127)
+    acc = _int_conv3x3(
+        qin, sim_params["conv_w"], sim_params["conv_b"], stride
+    ).astype(jnp.float32)
 
-    b = conv_out.shape[0]
-    flat = conv_out.reshape(b, -1).astype(jnp.float32)
+    b = acc.shape[0]
+    fr = acc.shape[1] * acc.shape[2] * acc.shape[3]
     num_features = cfg.grid_size * cfg.grid_size * cfg.channels
-    buf = jnp.pad(flat, ((0, 0), (0, num_features - flat.shape[1])))
+    n_pad = num_features - fr
+    if n_pad < 0:
+        raise ValueError("conv output exceeds feature grid — invalid config")
 
-    logits, count = fused_nnue_head(
-        head_params, buf, cfg=cfg, interpret=interpret
+    logits, count = _fused_head_call(
+        head_params, acc.reshape(b, fr), cfg=cfg, fr=fr, n_pad=n_pad,
+        conv_scale=cfg.conv_scale, tile_b=tile_b, interpret=interpret,
     )
     density = count.astype(jnp.float32) / sim_params["num_features_f32"]
     return logits, density, count

@@ -215,17 +215,24 @@ def train_model(
     # Progressive quantization (VERDICT r1 item 5): engine_friendly training
     # from scratch is unstable (straight-through quantizers + cold BN
     # statistics); with ef_warmup_epochs=W the first W epochs train the
-    # unconstrained float model, then training switches to the
-    # engine_friendly function and fine-tunes it — the quantized model
-    # starts from the strong float solution instead of noise. Params/stats
-    # structures are shared between modes, so the switch is a config swap
-    # (one re-trace), not a restart.
+    # CONTINUOUS engine-structured model (ef_quantizers=False: scale-only
+    # norms, engine clamp ranges, no residual/dense — but no rounding), then
+    # training switches the straight-through quantizers on and fine-tunes —
+    # the quantized model starts from a strong solution of the same function
+    # family, so the switch perturbs only by rounding. (Warming up on the
+    # UNCONSTRAINED float model instead collapses to chance at the switch —
+    # its BN biases and residual paths have no engine representation;
+    # measured: val 0.93 → 0.10.) Params/stats structures are shared between
+    # modes, so the switch is a config swap (one re-trace), not a restart.
     ef_warmup = int(getattr(config, "ef_warmup_epochs", 0))
     warm_cfg = model_cfg
     if ef_warmup > 0 and getattr(model_cfg, "engine_friendly", False):
         import dataclasses as _dc
 
-        warm_cfg = _dc.replace(model_cfg, engine_friendly=False)
+        if hasattr(model_cfg, "ef_quantizers"):
+            warm_cfg = _dc.replace(model_cfg, ef_quantizers=False)
+        else:
+            warm_cfg = _dc.replace(model_cfg, engine_friendly=False)
     else:
         ef_warmup = 0
 

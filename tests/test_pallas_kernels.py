@@ -34,6 +34,59 @@ def test_fused_forward_matches_engine_sim(rng, grid, ch, h):
     np.testing.assert_array_equal(np.asarray(count), np.asarray(ref_count))
 
 
+def test_fused_forward_negative_threshold_activates_padding(rng):
+    """grid² · ch exceeds the conv output here, so the trailing features are
+    the constant 0; with a negative threshold the engine counts them active
+    and adds their FT rows. The kernel folds that in as a precomputed
+    constant — must stay bit-identical (nnue_engine.h:246 upstream)."""
+    q = random_quantized_nnue(rng, grid=4, ch=6, l1=16, l2=8, l3=4,
+                              num_classes=3, visual_threshold=-0.25)
+    params, cfg = nnue_sim_params(q)
+    head = pallas_head_params(params)
+    imgs = (rng.random((4, 12, 12, 3), dtype=np.float32) * 2 - 0.5).astype(
+        np.float32
+    )
+    ref_logits, _, ref_count = nnue_engine_forward(
+        params, imgs, cfg=cfg, image_h=12, image_w=12
+    )
+    # sanity: padding really exists and really activates
+    assert int(np.asarray(ref_count).min()) >= cfg.grid_size  # pad active
+    logits, _, count = nnue_engine_forward_fused(
+        params, head, imgs, cfg=cfg, image_h=12, image_w=12, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(logits), np.asarray(ref_logits))
+    np.testing.assert_array_equal(np.asarray(count), np.asarray(ref_count))
+
+
+def test_large_ft_weights_fall_back_to_f32(rng):
+    """.nnue carries int16 FT weights; values beyond the bf16-exact window
+    must keep a full-precision table (and stay bit-exact)."""
+    q = random_quantized_nnue(rng, grid=4, ch=4, l1=16, l2=8, l3=4,
+                              num_classes=3)
+    q.ft.weight[:] = rng.integers(-30000, 30000, q.ft.weight.shape)
+    params, cfg = nnue_sim_params(q)
+    head = pallas_head_params(params)
+    assert head["ft_w"].dtype == jnp.float32
+    imgs = (rng.random((3, 12, 12, 3), dtype=np.float32) * 2 - 0.5).astype(
+        np.float32
+    )
+    ref_logits, _, _ = nnue_engine_forward(
+        params, imgs, cfg=cfg, image_h=12, image_w=12
+    )
+    logits, _, _ = nnue_engine_forward_fused(
+        params, head, imgs, cfg=cfg, image_h=12, image_w=12, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(logits), np.asarray(ref_logits))
+
+
+def test_small_ft_weights_use_bf16_table(rng):
+    q = random_quantized_nnue(rng, grid=4, ch=4, l1=16, l2=8, l3=4,
+                              num_classes=3)
+    params, _ = nnue_sim_params(q)
+    head = pallas_head_params(params)
+    assert head["ft_w"].dtype == jnp.bfloat16  # int8-range values are exact
+
+
 def test_fused_head_batch_padding(rng):
     """Batch sizes that don't divide the tile must round-trip unpadded."""
     q = random_quantized_nnue(rng, grid=4, ch=4, l1=16, l2=8, l3=4,

@@ -1,10 +1,12 @@
 """Two-phase (progressive) quantization wiring: with ef_warmup_epochs=W the
-train loop runs the first W epochs with engine_friendly=False and the rest
-with engine_friendly=True, sharing params/stats across the switch
-(VERDICT r1 item 5). Heavy compute is mocked out — this tests the wiring."""
+train loop runs the first W epochs with the CONTINUOUS engine-structured
+model (engine_friendly=True, ef_quantizers=False) and the rest with the
+quantizers on, sharing params/stats across the switch (VERDICT r1 item 5).
+Heavy compute is mocked out — this tests the wiring."""
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -14,25 +16,28 @@ def test_ef_warmup_switches_config(tmp_path, monkeypatch):
 
     seen_flags = []
 
+    def flag(model_cfg):
+        return (model_cfg.engine_friendly, model_cfg.ef_quantizers)
+
     def fake_scanned(state, di, dl, idx, key, *, model_type, model_cfg,
                      optimizer, strength, augment):
-        seen_flags.append(model_cfg.engine_friendly)
+        seen_flags.append(flag(model_cfg))
         k = idx.shape[0]
         return state, {"loss": jnp.ones((k,)), "accuracy": jnp.ones((k,))}
 
     def fake_gathered(state, di, dl, idx, key, *, model_type, model_cfg,
                       optimizer, strength, augment):
-        seen_flags.append(model_cfg.engine_friendly)
+        seen_flags.append(flag(model_cfg))
         return state, {"loss": jnp.ones(()), "accuracy": jnp.ones(())}
 
     eval_flags = []
 
     def fake_eval(params, batch_stats, loader, *, model_type, model_cfg):
-        eval_flags.append(model_cfg.engine_friendly)
+        eval_flags.append(flag(model_cfg))
         return 1.0, {"f1": 0.5, "acc": 0.5}
 
     def fake_int8(params, batch_stats, loader, *, model_type, model_cfg):
-        eval_flags.append(model_cfg.engine_friendly)
+        eval_flags.append(flag(model_cfg))
         return {"f1": 0.5, "acc": 0.5, "ms_per_sample": 0.0,
                 "latent_density": 0.0}
 
@@ -73,12 +78,40 @@ def test_ef_warmup_switches_config(tmp_path, monkeypatch):
 
     assert loop_mod.train_model(Cfg(), "etinynet") == 0
 
-    # 3 epochs × 2 dispatches: epochs 0-1 float (False), epoch 2 ef (True)
+    # 3 epochs × 2 dispatches: epochs 0-1 continuous-ef, epoch 2 quantized;
+    # engine structure (engine_friendly) holds for BOTH phases
+    warm, quant = (True, False), (True, True)
     assert len(seen_flags) == 6, seen_flags
-    assert seen_flags == [False] * 4 + [True] * 2
+    assert seen_flags == [warm] * 4 + [quant] * 2
     # per-epoch evals (train+val float, compiled) follow the same schedule
-    assert eval_flags[:3] == [False] * 3
-    assert eval_flags[-4:-1] == [True] * 3  # last epoch's evals (+ final test)
+    assert eval_flags[:3] == [warm] * 3
+    assert eval_flags[-4:-1] == [quant] * 3  # last epoch's evals (+ final test)
+
+
+def test_continuous_ef_shares_pytree_with_quantized(rng):
+    """The warmup function and the quantized function must share params and
+    batch_stats structure exactly — the mid-run switch is a config swap."""
+    from nnue_vision_tpu.models.etinynet import (
+        EtinyNetConfig, etinynet_apply, etinynet_init,
+    )
+
+    qcfg = EtinyNetConfig(variant="micro", num_classes=4, input_size=32,
+                          engine_friendly=True)
+    wcfg = dataclasses.replace(qcfg, ef_quantizers=False)
+    params, stats = etinynet_init(jax.random.PRNGKey(0), qcfg)
+    x = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+
+    logits_w, ns_w = etinynet_apply(params, stats, x, wcfg, train=True)
+    logits_q, ns_q = etinynet_apply(params, stats, x, qcfg, train=True)
+    assert (jax.tree_util.tree_structure(ns_w)
+            == jax.tree_util.tree_structure(ns_q))
+    # same function family, different values (quantizers round)
+    assert logits_w.shape == logits_q.shape
+    # the continuous model must be differentiable end to end
+    g = jax.grad(
+        lambda p: etinynet_apply(p, stats, x, wcfg, train=True)[0].sum()
+    )(params)
+    assert np.isfinite(float(jax.tree_util.tree_leaves(g)[0].sum()))
 
 
 def test_ef_warmup_ignored_without_engine_friendly():
@@ -87,6 +120,6 @@ def test_ef_warmup_ignored_without_engine_friendly():
     from nnue_vision_tpu.models.etinynet import EtinyNetConfig
 
     cfg = EtinyNetConfig(variant="micro", engine_friendly=True)
-    warm = dataclasses.replace(cfg, engine_friendly=False)
-    assert warm.engine_friendly is False and cfg.engine_friendly is True
+    warm = dataclasses.replace(cfg, ef_quantizers=False)
+    assert warm.ef_quantizers is False and cfg.ef_quantizers is True
     assert warm.variant == cfg.variant
