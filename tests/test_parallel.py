@@ -219,3 +219,47 @@ def test_sharded_int8_inference_matches_single_device(rng):
     )
     np.testing.assert_array_equal(np.asarray(logits), np.asarray(ref_logits))
     np.testing.assert_array_equal(np.asarray(count), np.asarray(ref_count))
+
+
+def test_sharded_pallas_inference_matches_single_device(rng):
+    """The Pallas fused path can't be auto-partitioned by GSPMD (it is a
+    custom call); shard_map runs the whole kernel per-shard over the data
+    axis — serving scale-out for the fastest inference path. Must stay
+    bit-identical to the single-device run."""
+    from functools import partial
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from nnue_vision_tpu.ops.engine_sim import nnue_sim_params
+    from nnue_vision_tpu.ops.pallas_kernels import (
+        nnue_engine_forward_fused,
+        pallas_head_params,
+    )
+    from tests.conftest import random_quantized_nnue
+
+    q = random_quantized_nnue(rng, grid=4, ch=4, l1=16, l2=8, l3=4,
+                              num_classes=3)
+    params, cfg = nnue_sim_params(q)
+    head = pallas_head_params(params)
+    images = rng.random((16, 12, 12, 3), dtype=np.float32).astype(np.float32)
+
+    fwd = partial(nnue_engine_forward_fused, cfg=cfg, image_h=12, image_w=12,
+                  interpret=True)
+    ref_logits, _, ref_count = fwd(params, head, jnp.asarray(images))
+
+    mesh = make_mesh(8)
+    sharded_images = shard_batch(mesh, images)
+    rep_params = replicate(mesh, params)
+    rep_head = replicate(mesh, head)
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation, so shard_map's vma checker cannot validate it
+    sharded_fwd = jax.shard_map(
+        fwd, mesh=mesh,
+        in_specs=(P(), P(), P("data")),
+        out_specs=(P("data"), P("data"), P("data")),
+        check_vma=False,
+    )
+    logits, _, count = sharded_fwd(rep_params, rep_head, sharded_images)
+    assert logits.sharding == NamedSharding(mesh, P("data"))
+    np.testing.assert_array_equal(np.asarray(logits), np.asarray(ref_logits))
+    np.testing.assert_array_equal(np.asarray(count), np.asarray(ref_count))
