@@ -192,6 +192,13 @@ def etinynet_init(rng: jax.Array, cfg: EtinyNetConfig) -> Tuple[Dict, Dict]:
             "pw_project_w": _conv_init(next(keys), (1, 1, mid, out)),
             "bn3": _bn_init(out),
         }
+        if cfg.engine_friendly:
+            # LSQ per-channel activation scales for the two 7-level
+            # quantizer sites, stored in log space (weight decay pulls the
+            # log toward 0 = scale 1, the neutral grid). Only ef models
+            # carry them — plain configs keep exact upstream param counts.
+            bp["qlog1"] = jnp.zeros((mid,), jnp.float32)
+            bp["qlog2"] = jnp.zeros((mid,), jnp.float32)
         bs = {"bn1": _bn_state(mid), "bn2": _bn_state(mid), "bn3": _bn_state(out)}
         if dense and stride == 1 and in_c == out:
             bp["dense_proj_w"] = _conv_init(next(keys), (1, 1, in_c + out, out))
@@ -199,6 +206,8 @@ def etinynet_init(rng: jax.Array, cfg: EtinyNetConfig) -> Tuple[Dict, Dict]:
             bs["dense_bn"] = _bn_state(out)
         params["blocks"].append(bp)
         state["blocks"].append(bs)
+    if cfg.engine_friendly:
+        params["final_qlog"] = jnp.zeros((t["final_channels"],), jnp.float32)
     cls_bound = 1.0 / math.sqrt(t["final_channels"])
     params["cls_w"] = jax.random.uniform(
         next(keys), (cfg.num_classes, t["final_channels"]), jnp.float32,
@@ -258,21 +267,28 @@ def _ste(x, quantized):
     return x + jax.lax.stop_gradient(quantized - x)
 
 
-def _wq_folded(w_hwio, norm_p, norm_s, scale: float):
+def _wq_folded(w_hwio, norm_p, norm_s, scale: float, out_mul=None, in_mul=None):
     """Weight fake-quantization on the SERIALIZER's int8 grid, as folded.
 
     The serializer quantizes the norm-folded weight w·k at `scale`
     (quantize.py:22-26 — round, clip ±127); training that never saw this
     rounding pays an accuracy gap at deployment. Here the conv uses
-    ŵ = clip(round(w·k·scale))/scale / k with a straight-through gradient,
-    so engine_friendly training optimizes the EXACT deployed weights. k is
-    the per-out-channel norm gain from the RUNNING statistics (what the
-    serializer folds); bias rounding (int32 at scale ≥1024) is negligible
-    and not modeled.
+    ŵ = clip(round(w·f·scale))/scale / f with a straight-through gradient,
+    so engine_friendly training optimizes the EXACT deployed weights.
+    f = k·out_mul (per out-channel) × in_mul (per in-channel): k is the
+    norm gain from the RUNNING statistics and out_mul/in_mul carry the LSQ
+    activation scales the serializer folds into this conv (stop-gradient —
+    the scales train through the activation quantizers, not the weight
+    grid). Bias rounding (int32 at scale ≥1024) is negligible and not
+    modeled.
     """
     k = norm_p["scale"] * jax.lax.rsqrt(norm_s["var"] + BN_EPS)
-    k = jax.lax.stop_gradient(k).reshape((1, 1, 1, -1))  # out-ch is last (HWIO)
-    q = jnp.clip(jnp.round(w_hwio * k * scale), -127.0, 127.0) / (scale * k)
+    if out_mul is not None:
+        k = k * out_mul
+    f = jax.lax.stop_gradient(k).reshape((1, 1, 1, -1))  # out-ch is last (HWIO)
+    if in_mul is not None:
+        f = f * jax.lax.stop_gradient(in_mul).reshape((1, 1, -1, 1))
+    q = jnp.clip(jnp.round(w_hwio * f * scale), -127.0, 127.0) / (scale * f)
     return w_hwio + jax.lax.stop_gradient(q - w_hwio)
 
 
@@ -292,6 +308,25 @@ def _q_relu6_round(x):
     serializer folds +0.5 into the (existing) bias slot, turning the
     engine's truncation into rounding — gentler quantization noise."""
     return _ste(x, jnp.clip(jnp.round(jnp.clip(x, 0.0, 6.0)), 0.0, 6.0))
+
+
+def _q_act_lsq(x, s, round_fn):
+    """LSQ 7-level activation with learnable per-channel scale s:
+    value = clip(round_fn(x/s), 0, 6) · s.
+
+    Straight-through on round_fn; autodiff then yields the LSQ scale
+    gradient automatically: ∂/∂s = round(z)−z in-range, 0 or 6 at the clip
+    rails (z = x/s). The engine realizes this exactly: the serializer
+    divides the preceding folded conv by s (per out-channel) and multiplies
+    s back into the next conv's input columns — the int grid stays 7 levels
+    and the format untouched, but the network chooses each channel's
+    quantization window. Measured necessity: with fixed s=1 the 7-level
+    rounding collapses a 0.82-val continuous model to 0.12; the post-hoc
+    resolution sweep shows the information lives below the 1.0 step.
+    """
+    z = x / s
+    zq = jnp.clip(_ste(z, round_fn(z)), 0.0, 6.0)
+    return zq * s
 
 
 def _q_grid16(x):
@@ -353,16 +388,32 @@ def etinynet_apply(
         identity = x
         ns = {}
         pw_e_w, dw_w, pw_p_w = bp["pw_expand_w"], bp["dw_w"], bp["pw_project_w"]
+        if ef:
+            s1f = jnp.exp(bp["qlog1"])
+            s2f = jnp.exp(bp["qlog2"])
+            s1, s2 = s1f.astype(dtype), s2f.astype(dtype)
         if q:
-            pw_e_w = _wq_folded(pw_e_w, bp["bn1"], bs["bn1"], 64.0)
-            dw_w = _wq_folded(dw_w, bp["bn2"], bs["bn2"], 64.0)
-            pw_p_w = _wq_folded(pw_p_w, bp["bn3"], bs["bn3"], 64.0)
+            pw_e_w = _wq_folded(pw_e_w, bp["bn1"], bs["bn1"], 64.0,
+                                out_mul=1.0 / s1f)
+            dw_w = _wq_folded(dw_w, bp["bn2"], bs["bn2"], 64.0,
+                              out_mul=s1f / s2f)
+            pw_p_w = _wq_folded(pw_p_w, bp["bn3"], bs["bn3"], 64.0, in_mul=s2f)
         h = _conv(x, pw_e_w.astype(dtype))
         h, ns["bn1"] = _batch_norm(h, bp["bn1"], bs["bn1"], train)
-        h = _q_relu6_round(h) if q else jnp.clip(h, 0.0, 6.0)
+        if q:
+            h = _q_act_lsq(h, s1, jnp.round)
+        elif ef:
+            h = jnp.clip(h, 0.0, 6.0 * s1)
+        else:
+            h = jnp.clip(h, 0.0, 6.0)
         h = _conv(h, dw_w.astype(dtype), stride=stride, groups=mid)
         h, ns["bn2"] = mid_norm(h, bp["bn2"], bs["bn2"], train)
-        h = _q_relu6_int(h) if q else jnp.clip(h, 0.0, 6.0)
+        if q:
+            h = _q_act_lsq(h, s2, jnp.floor)
+        elif ef:
+            h = jnp.clip(h, 0.0, 6.0 * s2)
+        else:
+            h = jnp.clip(h, 0.0, 6.0)
         h = _conv(h, pw_p_w.astype(dtype))
         h, ns["bn3"] = mid_norm(h, bp["bn3"], bs["bn3"], train)
         if q:
@@ -386,12 +437,21 @@ def etinynet_apply(
 
     final_w = params["final_w"]
     cls_w = params["cls_w"]
+    if ef:
+        s3f = jnp.exp(params["final_qlog"])
+        s3 = s3f.astype(dtype)
     if q:
-        final_w = _wq_folded(final_w, params["final_bn"], state["final_bn"], 64.0)
+        final_w = _wq_folded(final_w, params["final_bn"], state["final_bn"],
+                             64.0, out_mul=1.0 / s3f)
         cls_w = _wq_plain(cls_w, 64.0)
     x = _conv(x, final_w.astype(dtype))
     x, new_state["final_bn"] = _batch_norm(x, params["final_bn"], state["final_bn"], train)
-    x = _q_relu6_round(x) if q else jnp.clip(x, 0.0, 6.0)
+    if q:
+        x = _q_act_lsq(x, s3, jnp.round)
+    elif ef:
+        x = jnp.clip(x, 0.0, 6.0 * s3)
+    else:
+        x = jnp.clip(x, 0.0, 6.0)
     x = x.mean(axis=(1, 2))  # global average pool
 
     logits = x @ cls_w.T.astype(dtype) + params["cls_b"].astype(dtype)
@@ -481,6 +541,13 @@ def etinynet_quantize(
         bias=quantize_bias_i32(stem_b, scale=64.0 * _GAIN),
     )
 
+    def lsq_s(container, key, n):
+        """exp(qlog) as float64, or ones when the model carries no LSQ
+        scales (plain configs — the folding below is then an identity)."""
+        if key in container:
+            return np.exp(np.asarray(container[key], np.float64))
+        return np.ones(n, np.float64)
+
     blocks = []
     alpha = _GAIN  # amplification of this block's input
     for (kind, in_c, mid, out, stride, dense), bp, bs in zip(
@@ -489,6 +556,18 @@ def etinynet_quantize(
         pw_e, pw_e_bias = _fold_bn(bp["pw_expand_w"], bp["bn1"], bs["bn1"])
         dw, _ = _fold_bn(bp["dw_w"], bp["bn2"], bs["bn2"])
         pw_p, _ = _fold_bn(bp["pw_project_w"], bp["bn3"], bs["bn3"])
+        # LSQ per-channel activation scales (see _q_act_lsq): the engine's
+        # int grid h = clamp(rnd(acc/divisor),0,6) realizes h = rnd(v/s_c)
+        # by dividing the producing conv by s_c per out-channel, and the
+        # float value h·s_c is restored by multiplying s_c into the
+        # consumer's per-input-channel weights. The format and engine are
+        # untouched; only the folded weights change.
+        s1 = lsq_s(bp, "qlog1", mid)
+        s2 = lsq_s(bp, "qlog2", mid)
+        pw_e = pw_e / s1
+        pw_e_bias = pw_e_bias / s1
+        dw = dw * (s1 / s2)  # dw is per-channel: consumes s1, produces /s2
+        pw_p = pw_p * s2.reshape(1, 1, -1, 1)  # consume s2 per input column
         if cfg.engine_friendly:
             # the model trained with ROUND 7-level activations at this
             # stage; +0.5 in the bias turns the engine's truncation into
@@ -513,6 +592,14 @@ def etinynet_quantize(
     # Synthetic final block: folded final conv + identity dw + amplifier.
     fin = t["final_channels"]
     final_w, final_b = _fold_bn(p["final_w"], p["final_bn"], s["final_bn"])
+    # final-activation LSQ scales: conv divided by s3 per channel; the
+    # amplifier projection (which the classifier's 1024 scale expects to
+    # emit 16·v) multiplies s3 back. |64·s3| must fit int8, so s3 is capped
+    # at serialization (training keeps it near 1 via weight decay on the
+    # log; the cap only bites on runaway scales).
+    s3 = np.clip(lsq_s(p, "final_qlog", fin), 1.0 / 64.0, 127.0 / 64.0)
+    final_w = final_w / s3
+    final_b = final_b / s3
     if cfg.engine_friendly:
         final_b = final_b + 0.5  # round semantics, as above
     dw_identity = np.zeros((fin, 3, 3), np.int8)
@@ -522,7 +609,7 @@ def etinynet_quantize(
         QLBBlock(
             pw_expand=quantize_weight_i8(final_w[0, 0].T),  # (fin, last_out)
             dw=dw_identity,
-            pw_project=(np.eye(fin) * 64).astype(np.int8),
+            pw_project=quantize_weight_i8(np.diag(s3)),  # eye·64·s3
             stride=1,
             is_dense=False,
             pw_expand_scale=s_expand,

@@ -120,3 +120,39 @@ def test_etiny_faithful_scales_in_file(rng, tmp_path):
     q2 = read_etiny(path)
     assert q2.blocks[0].pw_expand_scale == 1024.0
     assert q2.classifier.scale == 1024.0
+
+
+def test_etiny_lsq_scales_fold_exactly(rng):
+    """LSQ per-channel activation scales: the q-mode float forward with
+    RANDOM (non-unit) scales must still agree with the int8 engine on the
+    serialized file — the folding (conv/s per out-channel, s into the
+    consumer's input columns, amplifier eye·64·s3) realizes the same
+    function the quantizers trained."""
+    import dataclasses
+
+    cfg = EtinyNetConfig(variant="micro", num_classes=10, input_size=32,
+                         engine_friendly=True)
+    params, stats = etinynet_init(jax.random.PRNGKey(0), cfg)
+    # non-trivial per-channel scales in [0.5, 1.5]
+    params = dict(params)
+    params["blocks"] = [dict(bp) for bp in params["blocks"]]
+    for bp in params["blocks"]:
+        bp["qlog1"] = jnp.asarray(
+            rng.uniform(-0.7, 0.4, bp["qlog1"].shape).astype(np.float32))
+        bp["qlog2"] = jnp.asarray(
+            rng.uniform(-0.7, 0.4, bp["qlog2"].shape).astype(np.float32))
+    params["final_qlog"] = jnp.asarray(
+        rng.uniform(-0.5, 0.4, params["final_qlog"].shape).astype(np.float32))
+    for i in range(3):  # populate batch statistics
+        x = jnp.asarray(rng.random((8, 32, 32, 3), dtype=np.float32))
+        _, stats = etinynet_apply(params, stats, x, cfg, train=True)
+
+    q = etinynet_quantize(params, stats, cfg)
+    imgs = rng.random((4, 32, 32, 3), dtype=np.float32).astype(np.float32)
+    fl, _ = etinynet_apply(params, stats, jnp.asarray(imgs), cfg, train=False)
+    fl = np.asarray(fl)
+    for i in range(4):
+        il = etiny_forward_np(q, imgs[i])
+        scale = max(1e-3, float(np.abs(fl[i]).max()))
+        rel = np.abs(fl[i] - il).max() / scale
+        assert rel < 0.1, f"sample {i}: relative logit error {rel}"
