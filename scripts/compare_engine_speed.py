@@ -93,10 +93,13 @@ def main() -> int:
             print(line)
 
     if not args.skip_tpu:
-        # TIMING CONTRACT (round 2): on this backend block_until_ready can
-        # return before compute finishes, so TPU timings are scan-chained
-        # in one dispatch and ended with a forced device→host readback
-        # (same method as bench.py).
+        # TIMING CONTRACT (same as bench.py): on this backend
+        # block_until_ready can return before compute finishes, so TPU
+        # timings run many scan-chained reps in one dispatch and end with a
+        # forced device→host readback. Reps are chained by deriving each
+        # rep's input-buffer index from the previous rep's output (no
+        # loop-invariant hoisting, every rep reads fresh input from HBM);
+        # the ~30ms d2h readback amortizes over the reps.
         import jax
         import jax.numpy as jnp
 
@@ -106,23 +109,30 @@ def main() -> int:
         )
 
         np.asarray(jnp.zeros(()))  # warm the d2h path outside timed regions
-        reps = 10
-        x = jnp.asarray(np.ascontiguousarray(images))
+        reps = 400
+        n_buf = 4
+        data = jnp.asarray(
+            rng.random((n_buf, args.samples, 32, 32, 3), dtype=np.float32)
+        )
 
         def timed_ms(fwd):
             @jax.jit
-            def run(xb):
-                def body(v, _):
-                    out = fwd(v)
-                    chain = out.reshape(-1)[0].astype(jnp.float32) * 0.0
-                    return xb + chain, out.reshape(-1)[0]
-                _, outs = jax.lax.scan(body, xb, None, length=reps)
+            def run(d):
+                def body(idx, _):
+                    v = jax.lax.dynamic_index_in_dim(d, idx, keepdims=False)
+                    out = fwd(v).reshape(-1)
+                    nxt = (idx + 1 + out[0].astype(jnp.int32) * 0) % n_buf
+                    return nxt, out[0]
+                _, outs = jax.lax.scan(body, jnp.int32(0), None, length=reps)
                 return outs[-1]
 
-            np.asarray(run(x))  # compile + warm readback
-            t0 = time.perf_counter()
-            np.asarray(run(x))
-            return (time.perf_counter() - t0) / (reps * args.samples) * 1000
+            np.asarray(run(data))  # compile + warm readback
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(run(data))
+                best = min(best, time.perf_counter() - t0)
+            return best / (reps * args.samples) * 1000
 
         p, c = nnue_sim_params(nnue.quantize())
         ms = timed_ms(

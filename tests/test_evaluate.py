@@ -93,3 +93,23 @@ def test_float_eval(model_and_data):
                                    model_cfg=CFG)
     assert np.isfinite(loss)
     assert 0.0 <= metrics["acc"] <= 1.0
+
+
+def test_int8_sim_pallas_backend_matches_xla(model_and_data, monkeypatch):
+    """use_pallas routes through the fused kernel and must return identical
+    metrics to the XLA sim (same bits). Interpret mode on CPU."""
+    import functools
+
+    import nnue_vision_tpu.ops.pallas_kernels as pk
+
+    monkeypatch.setattr(
+        pk, "nnue_engine_forward_fused",
+        functools.partial(pk.nnue_engine_forward_fused, interpret=True),
+    )
+    params, loader = model_and_data
+    a = evaluate_int8_sim(params, None, loader, model_type="nnue",
+                          model_cfg=CFG)
+    b = evaluate_int8_sim(params, None, loader, model_type="nnue",
+                          model_cfg=CFG, use_pallas=True)
+    assert a["f1"] == b["f1"] and a["acc"] == b["acc"]
+    assert a["latent_density"] == b["latent_density"]

@@ -36,7 +36,8 @@ def test_ef_warmup_switches_config(tmp_path, monkeypatch):
         eval_flags.append(flag(model_cfg))
         return 1.0, {"f1": 0.5, "acc": 0.5}
 
-    def fake_int8(params, batch_stats, loader, *, model_type, model_cfg):
+    def fake_int8(params, batch_stats, loader, *, model_type, model_cfg,
+                  use_pallas=False):
         eval_flags.append(flag(model_cfg))
         return {"f1": 0.5, "acc": 0.5, "ms_per_sample": 0.0,
                 "latent_density": 0.0}
