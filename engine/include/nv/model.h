@@ -87,6 +87,10 @@ struct EtinyBlock {
   std::vector<int8_t> pw_expand;   // (mid, in)
   std::vector<int32_t> pw_expand_b;
   std::vector<int8_t> dw;          // (mid, 3, 3)
+  std::vector<int8_t> dw_t;        // (3*3, mid) — tap-major transpose, so
+                                   // the per-tap inner loop over channels
+                                   // is contiguous for both input and
+                                   // kernel (vectorized madd)
   std::vector<int8_t> pw_project;  // (out, mid)
 };
 

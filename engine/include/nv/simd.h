@@ -1,0 +1,44 @@
+// Vectorized integer micro-kernels for the engine hot loops.
+//
+// Layout mirrors the upstream engine's SIMD split (reference
+// engine/src/simd_{scalar,avx2,neon}.cpp; SURVEY.md §2.7): every op has a
+// portable scalar reference (`*_scalar`) that defines the semantics, and
+// wide implementations selected at compile time (`-march=native` sets
+// __AVX2__ / __ARM_NEON). The undecorated entry points dispatch to the
+// widest available backend; engine/tests/test_simd.cpp asserts each
+// backend is bit-identical to the scalar reference, including int16
+// wraparound. The TPU-side equivalents of these loops are the MXU matmul
+// feeds in nnue_vision_tpu/ops/engine_sim.py and ops/pallas_kernels.py.
+#pragma once
+
+#include <cstdint>
+
+namespace nv {
+namespace simd {
+
+// Name of the backend the dispatched entry points use ("avx2", "neon",
+// or "scalar"); printed by benchmark tools for provenance.
+const char* backend();
+
+// acc[i] += row[i] / acc[i] -= row[i] with int16 wraparound (the feature
+// transformer's accumulate contract — reference simd_avx2.cpp:20-111).
+void acc_add_i16_scalar(int16_t* acc, const int16_t* row, int n);
+void acc_sub_i16_scalar(int16_t* acc, const int16_t* row, int n);
+void acc_add_i16(int16_t* acc, const int16_t* row, int n);
+void acc_sub_i16(int16_t* acc, const int16_t* row, int n);
+
+// sum_i int32(x[i]) * int32(w[i]) — dense-layer rows. x values are
+// engine activations (0..127 after clipped ReLU; int16 covers the
+// pairwise path), w is int8 weights. Exact int32 accumulation.
+int32_t dot_i16_i8_scalar(const int16_t* x, const int8_t* w, int n);
+int32_t dot_i16_i8(const int16_t* x, const int8_t* w, int n);
+int32_t dot_i8_i8_scalar(const int8_t* x, const int8_t* w, int n);
+int32_t dot_i8_i8(const int8_t* x, const int8_t* w, int n);
+
+// acc[i] += int32(x[i]) * int32(w[i]) — elementwise multiply-accumulate
+// into an int32 buffer (the depthwise-conv tap loop, channels innermost).
+void madd_i8_i8_scalar(int32_t* acc, const int8_t* x, const int8_t* w, int n);
+void madd_i8_i8(int32_t* acc, const int8_t* x, const int8_t* w, int n);
+
+}  // namespace simd
+}  // namespace nv

@@ -13,11 +13,13 @@
 //   global average pool: truncating int mean, clamp ±127
 //   classifier: float logits acc/scale
 
+#include <algorithm>
 #include <cstring>
 #include <fstream>
 
 #include "../include/nv/ints.h"
 #include "../include/nv/model.h"
+#include "../include/nv/simd.h"
 #include "io_util.h"
 
 namespace nv {
@@ -86,6 +88,10 @@ EtinyNet load_etiny(std::istream& in) {
       expect(read_u32(in) == uint32_t(blk.mid_c), "pw_expand bias count");
       blk.pw_expand_b = read_vec<int32_t>(in, blk.mid_c, "pw_expand bias");
       blk.dw = read_vec<int8_t>(in, size_t(blk.mid_c) * 9, "dw weights");
+      blk.dw_t.resize(blk.dw.size());
+      for (int m = 0; m < blk.mid_c; ++m)
+        for (int t = 0; t < 9; ++t)
+          blk.dw_t[size_t(t) * blk.mid_c + m] = blk.dw[size_t(m) * 9 + t];
       blk.pw_project =
           read_vec<int8_t>(in, size_t(blk.out_c) * blk.mid_c, "pw_project");
       expect(read_u32(in) == uint32_t(blk.out_c), "pw_project bias count");
@@ -160,37 +166,51 @@ std::vector<float> etiny_evaluate(const EtinyNet& net, const float* image,
         const int8_t* px = &cur[size_t(p) * cc];
         int8_t* out = &expand[size_t(p) * blk.mid_c];
         for (int m = 0; m < blk.mid_c; ++m) {
-          int32_t acc = blk.pw_expand_b[m];
-          const int8_t* row = &blk.pw_expand[size_t(m) * blk.in_c];
-          for (int i = 0; i < blk.in_c; ++i) acc += int32_t(px[i]) * row[i];
+          int32_t acc =
+              blk.pw_expand_b[m] +
+              simd::dot_i8_i8(px, &blk.pw_expand[size_t(m) * blk.in_c],
+                              blk.in_c);
           out[m] = static_cast<int8_t>(clamp_i32(tdiv(acc, s), 0, 6));
         }
       }
     }
-    // depthwise 3x3 + ReLU6
+    // depthwise 3x3 + ReLU6 — taps outer, channels inner: for a fixed
+    // tap both the input pixel and the tap-major kernel row (dw_t) are
+    // channel-contiguous, so the accumulate is one vector madd per tap.
     const int dh = (ch - 3 + 2) / blk.stride + 1;
     const int dw_ = (cw - 3 + 2) / blk.stride + 1;
     dwout.assign(size_t(dh) * dw_ * blk.mid_c, 0);
     {
       const int32_t s = static_cast<int32_t>(blk.s_dw);
+      // Hand-built nets (tests, embedders) may lack the loader's
+      // tap-major transpose; build it here when absent.
+      std::vector<int8_t> dwt_local;
+      const int8_t* dwt = blk.dw_t.data();
+      if (blk.dw_t.size() != blk.dw.size()) {
+        dwt_local.resize(blk.dw.size());
+        for (int m = 0; m < blk.mid_c; ++m)
+          for (int t = 0; t < 9; ++t)
+            dwt_local[size_t(t) * blk.mid_c + m] = blk.dw[size_t(m) * 9 + t];
+        dwt = dwt_local.data();
+      }
+      std::vector<int32_t> acc(blk.mid_c);
       for (int y = 0; y < dh; ++y) {
         for (int x = 0; x < dw_; ++x) {
-          int8_t* out = &dwout[(size_t(y) * dw_ + x) * blk.mid_c];
-          for (int m = 0; m < blk.mid_c; ++m) {
-            int32_t acc = 0;
-            const int8_t* k = &blk.dw[size_t(m) * 9];
-            for (int ky = 0; ky < 3; ++ky) {
-              const int iy = y * blk.stride + ky - 1;
-              if (iy < 0 || iy >= ch) continue;
-              for (int kx = 0; kx < 3; ++kx) {
-                const int ix = x * blk.stride + kx - 1;
-                if (ix < 0 || ix >= cw) continue;
-                acc += int32_t(expand[(size_t(iy) * cw + ix) * blk.mid_c + m]) *
-                       k[ky * 3 + kx];
-              }
+          std::fill(acc.begin(), acc.end(), 0);
+          for (int ky = 0; ky < 3; ++ky) {
+            const int iy = y * blk.stride + ky - 1;
+            if (iy < 0 || iy >= ch) continue;
+            for (int kx = 0; kx < 3; ++kx) {
+              const int ix = x * blk.stride + kx - 1;
+              if (ix < 0 || ix >= cw) continue;
+              simd::madd_i8_i8(
+                  acc.data(), &expand[(size_t(iy) * cw + ix) * blk.mid_c],
+                  dwt + size_t(ky * 3 + kx) * blk.mid_c, blk.mid_c);
             }
-            out[m] = static_cast<int8_t>(clamp_i32(tdiv(acc, s), 0, 6));
           }
+          int8_t* out = &dwout[(size_t(y) * dw_ + x) * blk.mid_c];
+          for (int m = 0; m < blk.mid_c; ++m)
+            out[m] = static_cast<int8_t>(clamp_i32(tdiv(acc[m], s), 0, 6));
         }
       }
     }
@@ -204,9 +224,8 @@ std::vector<float> etiny_evaluate(const EtinyNet& net, const float* image,
         const int8_t* px = &dwout[size_t(p) * blk.mid_c];
         int8_t* out = &next[size_t(p) * blk.out_c];  // flat placement
         for (int o = 0; o < blk.out_c; ++o) {
-          int32_t acc = 0;
-          const int8_t* row = &blk.pw_project[size_t(o) * blk.mid_c];
-          for (int i = 0; i < blk.mid_c; ++i) acc += int32_t(px[i]) * row[i];
+          const int32_t acc = simd::dot_i8_i8(
+              px, &blk.pw_project[size_t(o) * blk.mid_c], blk.mid_c);
           out[o] = sat_i8(tdiv(acc, s));
         }
       }
@@ -226,11 +245,12 @@ std::vector<float> etiny_evaluate(const EtinyNet& net, const float* image,
     pooled[c] = sat_i8(tdiv(sum, hw));
   }
   std::vector<float> logits(net.num_classes);
+  const int cls_n = net.cls_in < cc ? net.cls_in : cc;
   for (int c = 0; c < net.num_classes; ++c) {
-    int32_t acc = net.cls_b[c];
-    const int8_t* row = &net.cls_w[size_t(c) * net.cls_in];
-    for (int i = 0; i < net.cls_in && i < cc; ++i)
-      acc += int32_t(pooled[i]) * row[i];
+    const int32_t acc =
+        net.cls_b[c] + simd::dot_i8_i8(pooled.data(),
+                                       &net.cls_w[size_t(c) * net.cls_in],
+                                       cls_n);
     logits[c] = static_cast<float>(acc) / net.cls_scale;
   }
   return logits;

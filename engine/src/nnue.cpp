@@ -14,6 +14,7 @@
 
 #include "../include/nv/ints.h"
 #include "../include/nv/model.h"
+#include "../include/nv/simd.h"
 #include "io_util.h"
 
 namespace nv {
@@ -202,8 +203,7 @@ void nnue_refresh_accumulator(const NnueNet& net,
   for (int i = 0; i < net.l1; ++i) acc[i] = static_cast<int16_t>(net.ft_b[i]);
   for (int f : features) {
     if (f < 0 || f >= net.num_features) continue;
-    const int16_t* row = &net.ft_w[size_t(f) * net.l1];
-    for (int i = 0; i < net.l1; ++i) acc[i] += row[i];
+    simd::acc_add_i16(acc.data(), &net.ft_w[size_t(f) * net.l1], net.l1);
   }
 }
 
@@ -212,13 +212,11 @@ void nnue_update_accumulator(const NnueNet& net, const std::vector<int>& added,
                              std::vector<int16_t>& acc) {
   for (int f : removed) {
     if (f < 0 || f >= net.num_features) continue;
-    const int16_t* row = &net.ft_w[size_t(f) * net.l1];
-    for (int i = 0; i < net.l1; ++i) acc[i] -= row[i];
+    simd::acc_sub_i16(acc.data(), &net.ft_w[size_t(f) * net.l1], net.l1);
   }
   for (int f : added) {
     if (f < 0 || f >= net.num_features) continue;
-    const int16_t* row = &net.ft_w[size_t(f) * net.l1];
-    for (int i = 0; i < net.l1; ++i) acc[i] += row[i];
+    simd::acc_add_i16(acc.data(), &net.ft_w[size_t(f) * net.l1], net.l1);
   }
 }
 
@@ -237,29 +235,30 @@ std::vector<float> nnue_head(const NnueNet& net,
     pairwise[i + half] = static_cast<int16_t>(clamp_i32(a, 0, 127));
   }
 
-  std::vector<int32_t> h1(l2);
+  // h1/h2 hold clipped-ReLU values (0..127); int16 storage feeds the
+  // vectorized dot without changing any value.
+  std::vector<int16_t> h1(l2);
   const int32_t s1 = static_cast<int32_t>(net.fc1_scale);
   for (int r = 0; r < l2; ++r) {
-    int32_t a = net.fc1_b[r];
-    const int8_t* row = &net.fc1_w[size_t(r) * l1];
-    for (int i = 0; i < l1; ++i) a += int32_t(pairwise[i]) * row[i];
-    h1[r] = clamp_i32(tdiv(a, s1), 0, 127);
+    int32_t a = net.fc1_b[r] +
+                simd::dot_i16_i8(pairwise.data(), &net.fc1_w[size_t(r) * l1],
+                                 l1);
+    h1[r] = static_cast<int16_t>(clamp_i32(tdiv(a, s1), 0, 127));
   }
 
-  std::vector<int32_t> h2(l3);
+  std::vector<int16_t> h2(l3);
   const int32_t s2 = static_cast<int32_t>(net.fc2_scale);
   for (int r = 0; r < l3; ++r) {
-    int32_t a = net.fc2_b[r];
-    const int8_t* row = &net.fc2_w[size_t(r) * l2];
-    for (int i = 0; i < l2; ++i) a += h1[i] * row[i];
-    h2[r] = clamp_i32(clamp_i32(tdiv(a, s2), -127, 127), 0, 127);
+    int32_t a = net.fc2_b[r] +
+                simd::dot_i16_i8(h1.data(), &net.fc2_w[size_t(r) * l2], l2);
+    h2[r] = static_cast<int16_t>(
+        clamp_i32(clamp_i32(tdiv(a, s2), -127, 127), 0, 127));
   }
 
   std::vector<float> logits(net.num_classes);
   for (int c = 0; c < net.num_classes; ++c) {
-    int32_t a = net.out_b[c];
-    const int8_t* row = &net.out_w[size_t(c) * l3];
-    for (int i = 0; i < l3; ++i) a += h2[i] * row[i];
+    int32_t a = net.out_b[c] +
+                simd::dot_i16_i8(h2.data(), &net.out_w[size_t(c) * l3], l3);
     logits[c] = static_cast<float>(a) / net.out_scale;
   }
   return logits;

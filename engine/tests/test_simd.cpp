@@ -1,0 +1,105 @@
+// SIMD backend parity: the dispatched entry points must be bit-identical
+// to the scalar reference for every op, every length (including lengths
+// that exercise both the wide body and the scalar tail), and inputs that
+// force int16 wraparound. Mirrors the upstream SIMD-consistency tests
+// (reference engine/tests/test_nnue_engine.cpp SIMD section).
+#include <cstdio>
+#include <cstdlib>
+#include <random>
+#include <vector>
+
+#include "../include/nv/simd.h"
+
+namespace {
+
+int failures = 0;
+
+#define CHECK(cond, msg)                                      \
+  do {                                                        \
+    if (!(cond)) {                                            \
+      std::printf("FAIL %s:%d %s\n", __FILE__, __LINE__, msg); \
+      ++failures;                                             \
+    }                                                         \
+  } while (0)
+
+std::mt19937 rng(12345);
+
+std::vector<int16_t> rand_i16(int n, int lo, int hi) {
+  std::uniform_int_distribution<int> d(lo, hi);
+  std::vector<int16_t> v(n);
+  for (auto& x : v) x = static_cast<int16_t>(d(rng));
+  return v;
+}
+
+std::vector<int8_t> rand_i8(int n) {
+  std::uniform_int_distribution<int> d(-127, 127);
+  std::vector<int8_t> v(n);
+  for (auto& x : v) x = static_cast<int8_t>(d(rng));
+  return v;
+}
+
+void test_acc_ops(int n) {
+  // Extreme values so wraparound actually occurs in both paths.
+  auto acc0 = rand_i16(n, -32768, 32767);
+  auto row = rand_i16(n, -32768, 32767);
+  auto a = acc0, b = acc0;
+  nv::simd::acc_add_i16(a.data(), row.data(), n);
+  nv::simd::acc_add_i16_scalar(b.data(), row.data(), n);
+  CHECK(a == b, "acc_add_i16 mismatch");
+  a = acc0;
+  b = acc0;
+  nv::simd::acc_sub_i16(a.data(), row.data(), n);
+  nv::simd::acc_sub_i16_scalar(b.data(), row.data(), n);
+  CHECK(a == b, "acc_sub_i16 mismatch");
+}
+
+void test_dots(int n) {
+  // Engine-range activations (0..127 int16 / full-range int8 weights).
+  auto x16 = rand_i16(n, 0, 127);
+  auto x8 = rand_i8(n);
+  auto w = rand_i8(n);
+  CHECK(nv::simd::dot_i16_i8(x16.data(), w.data(), n) ==
+            nv::simd::dot_i16_i8_scalar(x16.data(), w.data(), n),
+        "dot_i16_i8 mismatch");
+  CHECK(nv::simd::dot_i8_i8(x8.data(), w.data(), n) ==
+            nv::simd::dot_i8_i8_scalar(x8.data(), w.data(), n),
+        "dot_i8_i8 mismatch");
+  // Full-range int16 side too (accumulator values before clipping).
+  auto xw = rand_i16(n, -32768, 32767);
+  CHECK(nv::simd::dot_i16_i8(xw.data(), w.data(), n) ==
+            nv::simd::dot_i16_i8_scalar(xw.data(), w.data(), n),
+        "dot_i16_i8 full-range mismatch");
+}
+
+void test_madd(int n) {
+  auto x = rand_i8(n);
+  auto w = rand_i8(n);
+  std::uniform_int_distribution<int32_t> d(-1000000, 1000000);
+  std::vector<int32_t> a(n), b(n);
+  for (int i = 0; i < n; ++i) a[i] = b[i] = d(rng);
+  nv::simd::madd_i8_i8(a.data(), x.data(), w.data(), n);
+  nv::simd::madd_i8_i8_scalar(b.data(), x.data(), w.data(), n);
+  CHECK(a == b, "madd_i8_i8 mismatch");
+}
+
+}  // namespace
+
+int main() {
+  std::printf("simd backend: %s\n", nv::simd::backend());
+  // Lengths straddling the 8/16-lane widths, incl. pure-tail sizes.
+  const int sizes[] = {1, 3, 7, 8, 15, 16, 17, 31, 32, 33,
+                       64, 100, 128, 255, 1024, 1027};
+  for (int n : sizes) {
+    for (int rep = 0; rep < 8; ++rep) {
+      test_acc_ops(n);
+      test_dots(n);
+      test_madd(n);
+    }
+  }
+  if (failures) {
+    std::printf("%d failure(s)\n", failures);
+    return 1;
+  }
+  std::printf("all simd parity checks passed\n");
+  return 0;
+}

@@ -15,6 +15,7 @@
 #include <vector>
 
 #include "../include/nv/model.h"
+#include "../include/nv/simd.h"
 
 using Clock = std::chrono::steady_clock;
 
@@ -53,6 +54,7 @@ static nv::NnueNet synthetic_net() {
 }
 
 int main(int argc, char** argv) {
+  std::printf("SIMD_BACKEND:%s\n", nv::simd::backend());
   nv::NnueNet net;
   int iters = 1000;
   if (argc > 1 && std::string(argv[1]) != "-") {

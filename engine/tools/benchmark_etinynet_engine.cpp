@@ -10,10 +10,12 @@
 #include <vector>
 
 #include "../include/nv/model.h"
+#include "../include/nv/simd.h"
 
 using Clock = std::chrono::steady_clock;
 
 int main(int argc, char** argv) {
+  std::printf("SIMD_BACKEND:%s\n", nv::simd::backend());
   if (argc < 2) {
     std::fprintf(stderr,
                  "Usage: %s <model.etiny> [iters] [H] [W]\n", argv[0]);
