@@ -23,9 +23,29 @@ SUITES = [
 ]
 
 
+def run_cpp_suite() -> bool:
+    """Configure+build the engine and run its CTest suites (unit, etiny,
+    SIMD-backend parity) — the C++ half of the test strategy."""
+    from pathlib import Path
+
+    build = Path("engine/build")
+    steps = [
+        ["cmake", "-S", "engine", "-B", str(build), "-DCMAKE_BUILD_TYPE=Release"],
+        ["cmake", "--build", str(build), "--parallel"],
+        ["ctest", "--test-dir", str(build), "--output-on-failure"],
+    ]
+    for cmd in steps:
+        if subprocess.run(cmd).returncode != 0:
+            return False
+    return True
+
+
 def main() -> int:
     t0 = time.perf_counter()
     failed = []
+    print("=== C++ engine (ctest) ===")
+    if not run_cpp_suite():
+        failed.append("C++ engine")
     for name, paths in SUITES:
         print(f"\n=== {name} ===")
         result = subprocess.run(
