@@ -77,7 +77,7 @@ def _head_kernel(
     out_w_ref,     # (L3, C) bf16
     out_b_ref,     # (1, C) f32
     logits_ref,    # (TILE_B, C) f32
-    count_ref,     # (TILE_B, 128) i32 (count broadcast in col 0)
+    count_ref,     # (TILE_B, 8) i32 (count broadcast; col 0 read) or None
     *,
     l1: int,
     qone: int,
@@ -98,13 +98,14 @@ def _head_kernel(
     mask = x > thr
     # the n_pad zero-valued padding features are active iff 0 > threshold
     pad_active = (0.0 > thr).astype(jnp.float32)
-    count_ref[:] = jnp.broadcast_to(
-        (
-            mask.sum(axis=1, keepdims=True).astype(jnp.float32)
-            + pad_active * np.float32(n_pad)
-        ).astype(jnp.int32),
-        count_ref.shape,
-    )
+    if count_ref is not None:
+        count_ref[:] = jnp.broadcast_to(
+            (
+                mask.sum(axis=1, keepdims=True).astype(jnp.float32)
+                + pad_active * np.float32(n_pad)
+            ).astype(jnp.int32),
+            count_ref.shape,
+        )
 
     # FT accumulate on the MXU; exact (≤ F·max|w| + bias < 2^24), then int16
     # wraparound + clipped ReLU (engine semantics).
@@ -172,7 +173,8 @@ def pallas_head_params(sim_params: Dict) -> Dict:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "fr", "n_pad", "conv_scale", "tile_b", "interpret"),
+    static_argnames=("cfg", "fr", "n_pad", "conv_scale", "tile_b", "interpret",
+                     "with_count"),
 )
 def _fused_head_call(
     head_params: Dict,
@@ -184,6 +186,7 @@ def _fused_head_call(
     conv_scale: int,
     tile_b: int,
     interpret: bool,
+    with_count: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     b = acc.shape[0]
     l1 = cfg.l1
@@ -223,7 +226,22 @@ def _fused_head_call(
 
     n_tiles = bp // tile_b
     full = lambda *_: (0, 0)  # noqa: E731 — whole-array blocks each step
-    logits, count = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((tile_b, cfg.num_classes), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((bp, cfg.num_classes), jnp.float32)]
+    if with_count:
+        # 8 lanes (one i32 sublane tile) instead of a full 128-lane row:
+        # at serving batch the count write is bandwidth, not compute.
+        out_specs.append(
+            pl.BlockSpec((tile_b, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((bp, 8), jnp.int32))
+    else:
+        kernel = functools.partial(kernel, count_ref=None)
+    outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
@@ -241,16 +259,8 @@ def _fused_head_call(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cfg.num_classes), full, memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((tile_b, cfg.num_classes), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((bp, cfg.num_classes), jnp.float32),
-            jax.ShapeDtypeStruct((bp, 128), jnp.int32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(
         acc,
@@ -265,7 +275,10 @@ def _fused_head_call(
         head_params["out_w"],
         head_params["out_b"],
     )
-    return logits[:b], count[:b, 0]
+    if with_count:
+        logits, count = outs
+        return logits[:b], count[:b, 0]
+    return outs[0][:b], None
 
 
 def fused_nnue_head(
@@ -292,7 +305,7 @@ def fused_nnue_head(
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "image_h", "image_w", "interpret",
-                              "tile_b")
+                              "tile_b", "with_count")
 )
 def nnue_engine_forward_fused(
     sim_params: Dict,
@@ -304,6 +317,7 @@ def nnue_engine_forward_fused(
     image_w: int,
     tile_b: int = 1024,
     interpret: bool = False,
+    with_count: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full bit-exact NNUE int8 inference with the Pallas fused head.
 
@@ -312,6 +326,8 @@ def nnue_engine_forward_fused(
     exact for any input below the 2^24 integer window, no input-range
     precondition); the raw int-valued accumulator feeds the kernel, which
     owns the epilogue, threshold, padding constant, and the whole head.
+    with_count=False skips the density/count compute and HBM write for
+    logits-only serving; (logits, None, None) is returned.
     """
     stride = engine_conv_stride(image_h, cfg.grid_size)
     qin = _quantize_input(images, cfg.conv_scale)
@@ -329,6 +345,9 @@ def nnue_engine_forward_fused(
     logits, count = _fused_head_call(
         head_params, acc.reshape(b, fr), cfg=cfg, fr=fr, n_pad=n_pad,
         conv_scale=cfg.conv_scale, tile_b=tile_b, interpret=interpret,
+        with_count=with_count,
     )
+    if not with_count:
+        return logits, None, None
     density = count.astype(jnp.float32) / sim_params["num_features_f32"]
     return logits, density, count

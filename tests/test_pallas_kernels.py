@@ -102,3 +102,23 @@ def test_fused_head_batch_padding(rng):
     # count equals the direct mask popcount
     expected = (buf > q.visual_threshold).sum(axis=1)
     np.testing.assert_array_equal(np.asarray(count), expected)
+
+
+def test_logits_only_serving_path(rng):
+    """with_count=False must produce the same logits with no count output."""
+    q = random_quantized_nnue(rng, grid=4, ch=4, l1=16, l2=8, l3=4,
+                              num_classes=3)
+    params, cfg = nnue_sim_params(q)
+    head = pallas_head_params(params)
+    imgs = (rng.random((5, 12, 12, 3), dtype=np.float32) * 2 - 0.5).astype(
+        np.float32
+    )
+    full, _, _ = nnue_engine_forward_fused(
+        params, head, imgs, cfg=cfg, image_h=12, image_w=12, interpret=True
+    )
+    lo, density, count = nnue_engine_forward_fused(
+        params, head, imgs, cfg=cfg, image_h=12, image_w=12, interpret=True,
+        with_count=False,
+    )
+    assert density is None and count is None
+    np.testing.assert_array_equal(np.asarray(lo), np.asarray(full))
