@@ -235,7 +235,17 @@ def main() -> None:
         assert pallas_mfu < 1.0, (
             f"impossible: pallas MFU {pallas_mfu:.3f} ≥ 1"
         )
+
+        def pallas_logits_only(x):
+            # serving mode: no density/count compute or HBM write
+            return nnue_engine_forward_fused(
+                sim_params, head, x, cfg=sim_cfg, image_h=32, image_w=32,
+                with_count=False,
+            )
+
+        pallas_serve_ips, _ = timed_infer(pallas_logits_only)
     except Exception as e:  # keep the headline robust to kernel regressions
+        pallas_serve_ips = 0.0
         print(f"# pallas path unavailable: {e}", flush=True)
 
     print(json.dumps({
@@ -249,6 +259,9 @@ def main() -> None:
             "int8_infer_images_per_sec": round(infer_ips, 1),
             "int8_infer_mfu": round(infer_mfu, 5),
             "int8_pallas_images_per_sec": round(pallas_ips, 1),
+            "int8_pallas_logits_only_images_per_sec": round(
+                pallas_serve_ips, 1
+            ),
             "int8_infer_ms_per_image": round(1000.0 / infer_ips, 5),
             "int8_vs_reference_engine_claim": round(
                 (1000.0 / infer_ips) / REF_INT8_MS_PER_IMAGE, 6

@@ -44,7 +44,7 @@ deterministic = False
 keep_alive = False
 log_dir = "logs"
 project_name = "nnue_training"
-compiled_backend = "sim"
+compiled_backend = "sim"  # "sim" (TPU int8 sim) / "pallas" (fused kernel) / "engine" (C++ subprocess)
 
 print("NNUE production config loaded:")
 print(f"  batch={batch_size} l1={l1_size} epochs={max_epochs} "
