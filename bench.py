@@ -199,9 +199,12 @@ def main() -> None:
         ms = best / infer_reps * 1000.0
         return infer_batch / (ms / 1000.0), ms
 
+    # bench inputs are rng.random in [0,1) → |qx| < 64: the bf16 conv
+    # fast path is bit-exact (engine_sim.conv_inputs_bf16_safe)
     def xla_fwd(x):
         return nnue_engine_forward(
-            sim_params, x, cfg=sim_cfg, image_h=32, image_w=32
+            sim_params, x, cfg=sim_cfg, image_h=32, image_w=32,
+            conv_mode="bf16",
         )
 
     infer_ips, _ = timed_infer(xla_fwd)
@@ -222,7 +225,8 @@ def main() -> None:
 
         def pallas_fwd(x):
             return nnue_engine_forward_fused(
-                sim_params, head, x, cfg=sim_cfg, image_h=32, image_w=32
+                sim_params, head, x, cfg=sim_cfg, image_h=32, image_w=32,
+                conv_mode="bf16",
             )
 
         xla_logits = np.asarray(xla_fwd(infer_data[0])[0])
@@ -240,7 +244,7 @@ def main() -> None:
             # serving mode: no density/count compute or HBM write
             return nnue_engine_forward_fused(
                 sim_params, head, x, cfg=sim_cfg, image_h=32, image_w=32,
-                with_count=False,
+                with_count=False, conv_mode="bf16",
             )
 
         pallas_serve_ips, _ = timed_infer(pallas_logits_only)

@@ -51,7 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nnue_vision_tpu.ops.engine_sim import (
     NNUESimCfg,
-    _int_conv3x3,
+    _int_conv3x3_fast,
     _quantize_input,
     engine_conv_stride,
 )
@@ -210,8 +210,18 @@ def _fused_head_call(
     tile_b = min(tile_b, max(8, b))
     pad_b = (-b) % tile_b
     if pad_b:
-        acc = jnp.pad(acc, ((0, pad_b), (0, 0)))
+        acc = jnp.pad(
+            acc, ((0, pad_b),) + ((0, 0),) * (acc.ndim - 1)
+        )
     bp = acc.shape[0]
+
+    # NOTE: passing the conv output in its native 4-D NHWC layout and
+    # reshaping in-kernel was tried to skip the XLA-side relayout into a
+    # packed (B, FR) operand — Mosaic rejects the cross-lane register
+    # reshape (remote-compile 500), so the packed 2-D operand stays.
+    acc_spec = pl.BlockSpec(
+        (tile_b, fr), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
 
     kernel = functools.partial(
         _head_kernel,
@@ -245,8 +255,7 @@ def _fused_head_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((tile_b, fr), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            acc_spec,
             pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
             pl.BlockSpec((1, l1), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((fr, l1), full, memory_space=pltpu.VMEM),
@@ -261,6 +270,13 @@ def _fused_head_call(
         ],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
+        # default scoped-vmem budget is 16MB; the tile-1024 working set
+        # (acc tile + f32 FT intermediate + resident weights) slightly
+        # exceeds it. Batch tiles are independent → parallel semantics.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ) if not interpret else None,
         interpret=interpret,
     )(
         acc,
@@ -305,7 +321,7 @@ def fused_nnue_head(
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "image_h", "image_w", "interpret",
-                              "tile_b", "with_count")
+                              "tile_b", "with_count", "conv_mode")
 )
 def nnue_engine_forward_fused(
     sim_params: Dict,
@@ -318,6 +334,7 @@ def nnue_engine_forward_fused(
     tile_b: int = 1024,
     interpret: bool = False,
     with_count: bool = True,
+    conv_mode: str = "f32",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full bit-exact NNUE int8 inference with the Pallas fused head.
 
@@ -331,8 +348,9 @@ def nnue_engine_forward_fused(
     """
     stride = engine_conv_stride(image_h, cfg.grid_size)
     qin = _quantize_input(images, cfg.conv_scale)
-    acc = _int_conv3x3(
-        qin, sim_params["conv_w"], sim_params["conv_b"], stride
+    acc = _int_conv3x3_fast(
+        qin, sim_params["conv_w"], sim_params["conv_b"], stride,
+        bf16=(conv_mode == "bf16"),
     ).astype(jnp.float32)
 
     b = acc.shape[0]

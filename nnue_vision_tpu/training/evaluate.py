@@ -30,6 +30,7 @@ import numpy as np
 from nnue_vision_tpu.data.augment import normalize_images
 from nnue_vision_tpu.formats import write_etiny, write_nnue
 from nnue_vision_tpu.ops.engine_sim import (
+    conv_inputs_bf16_safe,
     etiny_engine_forward,
     etiny_sim_params,
     nnue_engine_forward,
@@ -109,17 +110,21 @@ def evaluate_int8_sim(
             )
 
             head = pallas_head_params(sim_params)
-            fwd = lambda x, h, w: nnue_engine_forward_fused(  # noqa: E731
-                sim_params, head, x, cfg=cfg, image_h=h, image_w=w
+            fwd = lambda x, h, w, cm: nnue_engine_forward_fused(  # noqa: E731
+                sim_params, head, x, cfg=cfg, image_h=h, image_w=w,
+                conv_mode=cm,
             )
         else:
-            fwd = lambda x, h, w: nnue_engine_forward(  # noqa: E731
-                sim_params, x, cfg=cfg, image_h=h, image_w=w
+            fwd = lambda x, h, w, cm: nnue_engine_forward(  # noqa: E731
+                sim_params, x, cfg=cfg, image_h=h, image_w=w, conv_mode=cm
             )
         for images, labels in loader:
             x = normalize_images(np.asarray(images))
             h, w = x.shape[1], x.shape[2]
-            logits, _, count = fwd(x, h, w)
+            # bf16 conv feeds when bit-exact for this batch (host check;
+            # ~3x faster frontend), f32 otherwise — same logits either way
+            cm = "bf16" if conv_inputs_bf16_safe(x, cfg.conv_scale) else "f32"
+            logits, _, count = fwd(x, h, w, cm)
             outs.append(np.asarray(logits))
             targets.append(labels)
             densities.append(
@@ -131,8 +136,9 @@ def evaluate_int8_sim(
         for images, labels in loader:
             x = normalize_images(np.asarray(images))
             h, w = x.shape[1], x.shape[2]
+            cm = "bf16" if conv_inputs_bf16_safe(x, cfg.stem_scale) else "f32"
             logits = etiny_engine_forward(
-                sim_params, x, cfg=cfg, image_h=h, image_w=w
+                sim_params, x, cfg=cfg, image_h=h, image_w=w, conv_mode=cm
             )
             outs.append(np.asarray(logits))
             targets.append(labels)

@@ -151,15 +151,33 @@ def main() -> int:
         "xla_full": lambda: chained_ms(
             lambda x: nnue_engine_forward(
                 sim_params, x, cfg=cfg, image_h=32, image_w=32)[0], data),
+        "xla_full_bf16conv": lambda: chained_ms(
+            lambda x: nnue_engine_forward(
+                sim_params, x, cfg=cfg, image_h=32, image_w=32,
+                conv_mode="bf16")[0], data),
         "pallas_full": lambda: chained_ms(
             lambda x: nnue_engine_forward_fused(
                 sim_params, head, x, cfg=cfg, image_h=32, image_w=32,
                 interpret=interp)[0],
             data),
+        "pallas_full_bf16conv": lambda: chained_ms(
+            lambda x: nnue_engine_forward_fused(
+                sim_params, head, x, cfg=cfg, image_h=32, image_w=32,
+                interpret=interp, conv_mode="bf16")[0],
+            data),
+        "pallas_serve_bf16conv": lambda: chained_ms(
+            lambda x: nnue_engine_forward_fused(
+                sim_params, head, x, cfg=cfg, image_h=32, image_w=32,
+                interpret=interp, conv_mode="bf16", with_count=False)[0],
+            data),
     }
     out = {"batch": batch, "bf16_conv_exact": bf16_exact}
     for name, f in stages.items():
-        ms = f()
+        try:
+            ms = f()
+        except Exception as e:  # keep profiling the remaining stages
+            out[name + "_error"] = str(e).split("\n")[0][:160]
+            continue
         out[name + "_ms"] = round(ms, 4)
         out[name + "_images_per_sec"] = round(batch / (ms / 1000.0))
 
@@ -167,14 +185,19 @@ def main() -> int:
     for tb in (256, 512, 1024, 2048):
         if tb > batch:
             continue
-        ms = chained_ms(
-            lambda x, tb=tb: nnue_engine_forward_fused(
-                sim_params, head, x, cfg=cfg, image_h=32, image_w=32,
-                tile_b=tb, interpret=interp)[0],
-            data,
-        )
+        try:
+            ms = chained_ms(
+                lambda x, tb=tb: nnue_engine_forward_fused(
+                    sim_params, head, x, cfg=cfg, image_h=32, image_w=32,
+                    tile_b=tb, interpret=interp, conv_mode="bf16")[0],
+                data,
+            )
+        except Exception as e:
+            out[f"pallas_tile{tb}_error"] = str(e).split("\n")[0][:160]
+            continue
         out[f"pallas_tile{tb}_ms"] = round(ms, 4)
     print(json.dumps(out))
+    sys.stdout.flush()
     return 0
 
 

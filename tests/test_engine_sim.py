@@ -101,3 +101,23 @@ def test_density_counts_active_mask(rng):
     q_high = dataclasses.replace(q, visual_threshold=120.0)
     _, d_high = nnue_forward_np(q_high, img)
     assert d_high <= d_low
+
+
+def test_bf16_conv_guard_falls_back_on_large_inputs(rng):
+    """The runtime-guarded bf16 conv must stay bit-exact for inputs whose
+    quantized values exceed the 9-bit window (lax.cond takes the f32
+    branch) AND for normal inputs (bf16 branch, exact by construction).
+    Reference: the numpy oracle, which always computes in exact int32."""
+    q = random_quantized_nnue(rng, grid=4, ch=4, l1=16, l2=8, l3=4,
+                              num_classes=3)
+    params, cfg = nnue_sim_params(q)
+    for scale_up in (1.0, 50.0):  # qx ≈ ±90 vs ±4500 at conv scale 64
+        imgs = (rng.random((3, 12, 12, 3), dtype=np.float32) * 2 - 0.7
+                ) * scale_up
+        logits, _, count = nnue_engine_forward(
+            params, imgs, cfg=cfg, image_h=12, image_w=12
+        )
+        for i in range(imgs.shape[0]):
+            ref, ref_density = nnue_forward_np(q, imgs[i])
+            np.testing.assert_array_equal(np.asarray(logits[i]), ref)
+            assert int(count[i]) == round(ref_density * q.num_features)
