@@ -145,6 +145,9 @@ def download_cifar(name: str, root: Path, timeout: float = 15.0) -> bool:
         if digest != md5:
             early_log(f"{archive.name}: checksum {digest} != {md5}; discarding")
             archive.unlink()
+            # cache the failure like any other — a corrupted mirror must
+            # not trigger a full re-download per split
+            _failed_downloads.add(name)
             return False
         with tarfile.open(archive) as tf:
             tf.extractall(root)

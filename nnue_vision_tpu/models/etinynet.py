@@ -438,7 +438,13 @@ def etinynet_apply(
     final_w = params["final_w"]
     cls_w = params["cls_w"]
     if ef:
-        s3f = jnp.exp(params["final_qlog"])
+        # clip to the serializer's representable range (|64·s3| must fit
+        # int8 — see serialize_etinynet's amplifier diag) so training
+        # optimizes the SAME function the engine will realize even if a
+        # channel's scale runs away
+        s3f = jnp.clip(
+            jnp.exp(params["final_qlog"]), 1.0 / 64.0, 127.0 / 64.0
+        )
         s3 = s3f.astype(dtype)
     if q:
         final_w = _wq_folded(final_w, params["final_bn"], state["final_bn"],

@@ -118,57 +118,22 @@ def _quantize_input(img: jnp.ndarray, scale: float) -> jnp.ndarray:
 
 
 def _int_conv3x3(
-    qin: jnp.ndarray, weight_oihw: jnp.ndarray, bias: jnp.ndarray, stride: int
-) -> jnp.ndarray:
-    """Exact integer 3x3 conv, padding=1, NHWC, int32 accumulators.
-
-    Performed in float32 (integer-valued, exact below 2^24 — conv sums are
-    ≤ 27·|qx|·127, far inside) so XLA lowers it onto the MXU/conv unit
-    instead of a slow integer fallback.
-    """
-    lhs = qin.astype(jnp.float32)
-    rhs = jnp.transpose(weight_oihw, (2, 3, 1, 0)).astype(jnp.float32)  # HWIO
-    acc = jax.lax.conv_general_dilated(
-        lhs,
-        rhs,
-        window_strides=(stride, stride),
-        padding=((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    return acc.astype(jnp.int32) + bias.astype(jnp.int32)
-
-
-# integers with |v| <= 512 (9 significant bits) cast to bfloat16 exactly
-_BF16_EXACT_INT = 512
-
-
-def conv_inputs_bf16_safe(images, scale) -> bool:
-    """Host-side check: is the bf16 conv fast path bit-exact for this data?
-
-    True iff every |trunc(x*scale)| ≤ 512 (9-bit-exact window).
-    Production-normalized images are always safe (|qx| ≤ ~192 at scale 64).
-    Call on host data to pick `conv_mode="bf16"`; a runtime lax.cond guard
-    was measured SLOWER than the f32 conv it guards (the max-reduction +
-    cond boundary break XLA's fusion), so the choice is static.
-    """
-    import numpy as np  # local: engine_sim is otherwise jax-only
-
-    m = float(np.max(np.abs(np.asarray(images, dtype=np.float32))))
-    return m * float(scale) <= _BF16_EXACT_INT
-
-
-def _int_conv3x3_fast(
     qin: jnp.ndarray, weight_oihw: jnp.ndarray, bias: jnp.ndarray,
     stride: int, *, bf16: bool = False
 ) -> jnp.ndarray:
-    """`_int_conv3x3` with an opt-in bf16 MXU fast path.
+    """Exact integer 3x3 conv, padding=1, NHWC, int32 accumulators.
 
-    bf16 feeds run the conv unit ~3x faster than f32 on a v5e, and are
-    bit-exact whenever every |quantized input| ≤ 512 (products of two
-    9-bit-exact integers are exact in the MXU's f32 accumulation tree;
-    int8 weights always qualify). The flag is STATIC — callers assert the
-    precondition with `conv_inputs_bf16_safe` on host data (evaluate does)
-    or by pipeline construction (normalized images at scale 64).
+    Performed in float (integer-valued, exact below 2^24 — conv sums are
+    ≤ 27·|qx|·127, far inside) so XLA lowers it onto the MXU/conv unit
+    instead of a slow integer fallback. bf16=True feeds the MXU in
+    bfloat16 (~3x faster conv on a v5e), bit-exact whenever every
+    |quantized input| ≤ 256 (products of two bf16-exact integers are
+    exact in the MXU's f32 accumulation tree; int8 weights always
+    qualify). The flag is STATIC — callers assert the precondition with
+    `conv_inputs_bf16_safe` on host data (evaluate does) or by pipeline
+    construction (normalized images at scale 64 give |qx| ≤ ~192). A
+    runtime lax.cond guard was measured SLOWER than the f32 conv it
+    replaced (the max-reduction + cond boundary break XLA fusion).
     """
     dt = jnp.bfloat16 if bf16 else jnp.float32
     rhs = jnp.transpose(weight_oihw, (2, 3, 1, 0)).astype(dt)  # HWIO
@@ -181,6 +146,23 @@ def _int_conv3x3_fast(
         preferred_element_type=jnp.float32,
     )
     return acc.astype(jnp.int32) + bias.astype(jnp.int32)
+
+
+# integers with |v| <= 256 cast to bfloat16 exactly (8 significand bits
+# incl. the implicit one; 257 is the first integer that rounds)
+_BF16_EXACT_INT = 256
+
+
+def conv_inputs_bf16_safe(images, scale) -> bool:
+    """Host-side check: is the bf16 conv fast path bit-exact for this data?
+
+    True iff every |trunc(x*scale)| ≤ 256 (the bf16 exact-integer window).
+    Production-normalized images are always safe (|qx| ≤ ~192 at scale 64).
+    """
+    import numpy as np  # local: engine_sim is otherwise jax-only
+
+    m = float(np.max(np.abs(np.asarray(images, dtype=np.float32))))
+    return m * float(scale) <= _BF16_EXACT_INT
 
 
 # ---------------------------------------------------------------------------
@@ -259,7 +241,7 @@ def nnue_engine_forward(
     # Conv (nnue_engine.cpp:48-157): quantize input, int32 accumulate,
     # truncating /scale, clamp ±127.
     qin = _quantize_input(images, s.conv_scale)
-    acc = _int_conv3x3_fast(
+    acc = _int_conv3x3(
         qin, params["conv_w"], params["conv_b"], stride,
         bf16=(conv_mode == "bf16"),
     )
@@ -454,7 +436,7 @@ def nnue_feature_mask(
     (conv frontend + grid placement + threshold)."""
     stride = engine_conv_stride(image_h, cfg.grid_size)
     qin = _quantize_input(images, cfg.conv_scale)
-    acc = _int_conv3x3_fast(qin, params["conv_w"], params["conv_b"], stride)
+    acc = _int_conv3x3(qin, params["conv_w"], params["conv_b"], stride)
     conv_out = jnp.clip(_tdiv(acc, cfg.conv_scale), -127, 127)
     flat = conv_out.reshape(conv_out.shape[0], -1)
     num_features = cfg.grid_size * cfg.grid_size * cfg.channels
@@ -492,8 +474,8 @@ def etiny_engine_forward(
     s = cfg
 
     # Stem conv — raw float input, engine-fixed stride 2 (cpp:1341-1351).
-    # Same opt-in bf16 fast path as _int_conv3x3_fast (static flag; exact
-    # while every |quantized input| ≤ 512 — see conv_inputs_bf16_safe).
+    # Same opt-in bf16 fast path as _int_conv3x3 (static flag; exact
+    # while every |quantized input| ≤ 256 — see conv_inputs_bf16_safe).
     qin = jnp.trunc(images.astype(jnp.float32) * jnp.float32(s.stem_scale))
     dt = jnp.bfloat16 if conv_mode == "bf16" else jnp.float32
     acc = jax.lax.conv_general_dilated(

@@ -23,12 +23,12 @@ v5e):
   padding row-sum under a scalar flag — bit-identical, 800→512 less MXU
   and VMEM for the flagship config.
 
-* **bf16 MXU feeds where exact.** A bf16 mantissa holds 9 significant
-  bits, so integers with |v| ≤ 512 cast to bf16 exactly, products of two
-  such values are exact in the MXU's f32 accumulation tree, and sums stay
+* **bf16 MXU feeds where exact.** A bf16 significand holds 8 bits, so
+  integers with |v| ≤ 256 cast to bf16 exactly, products of two such
+  values are exact in the MXU's f32 accumulation tree, and sums stay
   exact below 2^24. Pairwise/dense activations are clamped to [0,127] and
   dense weights are int8 by format, so those dots always qualify; the FT
-  dot qualifies whenever max|ft_w| ≤ 512 (every model this framework
+  dot qualifies whenever max|ft_w| ≤ 256 (every model this framework
   serializes clips weights to ±1 at scale 64 → |w| ≤ 64; checked at
   parameter-build time with an f32 fallback for foreign files).
 
@@ -51,13 +51,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nnue_vision_tpu.ops.engine_sim import (
     NNUESimCfg,
-    _int_conv3x3_fast,
+    _int_conv3x3,
     _quantize_input,
     engine_conv_stride,
 )
 
 # integers with |v| <= _BF16_EXACT cast to bfloat16 without rounding
-_BF16_EXACT = 512.0
+# (8 significand bits incl. the implicit one; 257 is the first that rounds)
+_BF16_EXACT = 256.0
 
 
 def _wrap_i16_i32(x: jnp.ndarray) -> jnp.ndarray:
@@ -153,8 +154,9 @@ def pallas_head_params(sim_params: Dict) -> Dict:
 
     Dense weights transpose to (in, out) and cast to bf16 (int8 values are
     always bf16-exact); the FT table casts to bf16 only when its values
-    fit the 9-bit-exact window, else stays f32 (slower multi-pass MXU but
-    still bit-exact). Biases stay f32, 2-D for TPU layout.
+    fit the bf16 exact-integer window (|v| ≤ 256), else stays f32 (slower
+    multi-pass MXU but still bit-exact). Biases stay f32, 2-D for TPU
+    layout.
     """
     ft_w = sim_params["ft_w"].astype(jnp.float32)
     ft_max = float(jnp.max(jnp.abs(ft_w)))
@@ -348,7 +350,7 @@ def nnue_engine_forward_fused(
     """
     stride = engine_conv_stride(image_h, cfg.grid_size)
     qin = _quantize_input(images, cfg.conv_scale)
-    acc = _int_conv3x3_fast(
+    acc = _int_conv3x3(
         qin, sim_params["conv_w"], sim_params["conv_b"], stride,
         bf16=(conv_mode == "bf16"),
     ).astype(jnp.float32)

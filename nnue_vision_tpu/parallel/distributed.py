@@ -66,7 +66,10 @@ def initialize_distributed(
             local_device_ids=local_device_ids,
         )
     except RuntimeError as e:  # idempotent: tolerate double-init only
-        if "already" not in str(e).lower():
+        # jax 0.9 raises "distributed.initialize should only be called
+        # once."; older versions said "already initialized".
+        msg = str(e).lower()
+        if "already" not in msg and "only be called once" not in msg:
             raise
 
 

@@ -276,8 +276,10 @@ def train_model(
                 batch_stats=restored["batch_stats"],
             )
             start_epoch = int(meta.get("epoch", latest)) + 1
+            best_val_f1 = float(meta.get("best_val_f1", 0.0))
             early_log(
-                f"resumed from orbax step {latest} → epoch {start_epoch}"
+                f"resumed from orbax step {latest} → epoch {start_epoch} "
+                f"(best val F1 so far {best_val_f1:.4f})"
             )
 
     # Device-resident input pipeline: when the training set fits in HBM,
@@ -455,8 +457,16 @@ def train_model(
                 f"density {compiled_metrics.get('latent_density', 0.0):.4f}"
             )
 
+            # during an ef warmup the float-phase model is not the
+            # deployable function — best-F1 checkpointing applies only to
+            # epochs training the final (engine_friendly) config
+            is_new_best = epoch >= ef_warmup and val_metrics["f1"] > best_val_f1
+
             if orbax_ckpt is not None:
-                # async: returns immediately, write overlaps the next epoch
+                # async: returns immediately, write overlaps the next epoch.
+                # best_val_f1 (including this epoch if it is the new best)
+                # rides in the metadata so resume does not reset the
+                # best-model gate and overwrite a better artifact.
                 orbax_ckpt.save(
                     epoch,
                     params=state.params,
@@ -466,13 +476,14 @@ def train_model(
                         "model_type": model_type,
                         "epoch": epoch,
                         "val_f1": float(val_metrics["f1"]),
+                        "best_val_f1": float(
+                            max(best_val_f1, val_metrics["f1"])
+                            if is_new_best else best_val_f1
+                        ),
                     },
                 )
 
-            # during an ef warmup the float-phase model is not the
-            # deployable function — best-F1 checkpointing applies only to
-            # epochs training the final (engine_friendly) config
-            if epoch >= ef_warmup and val_metrics["f1"] > best_val_f1:
+            if is_new_best:
                 best_val_f1 = val_metrics["f1"]
                 manager.save_best(
                     model_type=model_type,

@@ -103,21 +103,41 @@ def test_density_counts_active_mask(rng):
     assert d_high <= d_low
 
 
-def test_bf16_conv_guard_falls_back_on_large_inputs(rng):
-    """The runtime-guarded bf16 conv must stay bit-exact for inputs whose
-    quantized values exceed the 9-bit window (lax.cond takes the f32
-    branch) AND for normal inputs (bf16 branch, exact by construction).
-    Reference: the numpy oracle, which always computes in exact int32."""
+def test_bf16_conv_fast_path_and_guard(rng):
+    """conv_mode="bf16" must be bit-exact vs the numpy oracle for in-window
+    inputs, and conv_inputs_bf16_safe must REJECT inputs whose quantized
+    values exceed the bf16 exact-integer window (256) — including the
+    257..512 band where a wrong 9-bit window would wrongly certify."""
+    from nnue_vision_tpu.ops.engine_sim import conv_inputs_bf16_safe
+
     q = random_quantized_nnue(rng, grid=4, ch=4, l1=16, l2=8, l3=4,
                               num_classes=3)
     params, cfg = nnue_sim_params(q)
-    for scale_up in (1.0, 50.0):  # qx ≈ ±90 vs ±4500 at conv scale 64
-        imgs = (rng.random((3, 12, 12, 3), dtype=np.float32) * 2 - 0.7
-                ) * scale_up
-        logits, _, count = nnue_engine_forward(
-            params, imgs, cfg=cfg, image_h=12, image_w=12
+
+    # In-window data (|qx| < 128 at scale 64): bf16 path == oracle.
+    imgs = (rng.random((3, 12, 12, 3), dtype=np.float32) * 2 - 0.7)
+    assert conv_inputs_bf16_safe(imgs, cfg.conv_scale)
+    logits, _, count = nnue_engine_forward(
+        params, imgs, cfg=cfg, image_h=12, image_w=12, conv_mode="bf16"
+    )
+    for i in range(imgs.shape[0]):
+        ref, ref_density = nnue_forward_np(q, imgs[i])
+        np.testing.assert_array_equal(np.asarray(logits[i]), ref)
+        assert int(count[i]) == round(ref_density * q.num_features)
+
+    # Out-of-window (including 257..512, where bf16 rounds): guard rejects,
+    # and the default f32 path still matches the oracle.
+    for scale_up in (6.0, 50.0):  # qx up to ~±480 / ~±4000
+        big = imgs * scale_up
+        assert not conv_inputs_bf16_safe(big, cfg.conv_scale)
+        lo, _, cnt = nnue_engine_forward(
+            params, big, cfg=cfg, image_h=12, image_w=12
         )
-        for i in range(imgs.shape[0]):
-            ref, ref_density = nnue_forward_np(q, imgs[i])
-            np.testing.assert_array_equal(np.asarray(logits[i]), ref)
-            assert int(count[i]) == round(ref_density * q.num_features)
+        for i in range(big.shape[0]):
+            ref, ref_density = nnue_forward_np(q, big[i])
+            np.testing.assert_array_equal(np.asarray(lo[i]), ref)
+            assert int(cnt[i]) == round(ref_density * q.num_features)
+
+    # The window boundary itself: 256 is safe, 257 is not.
+    assert conv_inputs_bf16_safe(np.array([4.0]), 64.0)       # qx = 256
+    assert not conv_inputs_bf16_safe(np.array([4.02]), 64.0)  # qx = 257
