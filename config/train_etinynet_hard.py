@@ -33,7 +33,7 @@ learning_rate = 8e-4
 weight_decay = 1e-4
 momentum = 0.9
 optimizer_type = "adam"
-max_epochs = 90
+max_epochs = 150
 max_grad_norm = 1.0
 use_cosine_scheduler = True
 decay_lr = True
