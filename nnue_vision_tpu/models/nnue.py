@@ -96,6 +96,12 @@ class NNUEConfig:
     # Keep activations in the engine's quantized dynamic range during
     # training (clipped ReLU to [0,1] in float ≙ [0,127] int).
     qat: bool = False
+    # With qat=True, qat_rounding=False trains the CONTINUOUS model inside
+    # the engine clamp ranges (no weight/bias fake-quant) — the warmup
+    # phase of progressive NNUE QAT (ef_warmup_epochs in the train config).
+    # Same function family as full QAT, perturbation at the switch is only
+    # rounding.
+    qat_rounding: bool = True
     # Compute dtype for the conv/matmul stack; params stay float32.
     dtype: str = "float32"
 
@@ -211,7 +217,7 @@ def nnue_apply(
     dtype = jnp.dtype(cfg.dtype)
     x = images.astype(dtype)
 
-    if cfg.qat:
+    if cfg.qat and cfg.qat_rounding:
         p = dict(params)
         half_cols = cfg.l1_size // 2
         # conv weights are not clipped by the reference; quantize on the

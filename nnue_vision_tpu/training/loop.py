@@ -233,6 +233,16 @@ def train_model(
             warm_cfg = _dc.replace(model_cfg, ef_quantizers=False)
         else:
             warm_cfg = _dc.replace(model_cfg, engine_friendly=False)
+    elif ef_warmup > 0 and getattr(model_cfg, "qat", False):
+        # NNUE analog: warm up with the continuous model INSIDE the engine
+        # clamp ranges (qat_rounding=False — same function family, only the
+        # weight/bias rounding is off), then switch the fake-quant rounding
+        # on; the optimizer restart below applies identically. Warming up
+        # on the unclamped float semantics instead would change the
+        # function family at the switch (the EtinyNet collapse mode).
+        import dataclasses as _dc
+
+        warm_cfg = _dc.replace(model_cfg, qat_rounding=False)
     else:
         ef_warmup = 0
 
