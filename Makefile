@@ -1,0 +1,29 @@
+# Convenience entry points. Everything here is also runnable directly.
+
+.PHONY: test test-fast test-comprehensive bench real-data-eval engine
+
+test:
+	python -m pytest tests/ -x -q
+
+test-fast:
+	python run_fast_tests.py
+
+# Builds our engine AND the unmodified reference engine, runs every
+# suite including the bit-exact upstream interchange tests (which fail
+# loudly rather than skip if the reference build is missing).
+test-comprehensive:
+	python run_comprehensive_tests.py
+
+bench:
+	python bench.py
+
+engine:
+	cmake -S engine -B engine/build -DCMAKE_BUILD_TYPE=Release
+	cmake --build engine/build --parallel
+
+# Real-data accuracy drill: trains both flagship configs on CIFAR-10
+# (NV_DATA_DIR=<dir with cifar-10-python.tar.gz> on air-gapped hosts)
+# and writes docs/REAL_DATA_RESULTS.md vs the reference README claims.
+# NV_EVAL_EPOCHS=<n> shortens the schedules for a smoke drill.
+real-data-eval:
+	python scripts/real_data_eval.py

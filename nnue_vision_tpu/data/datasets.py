@@ -87,7 +87,16 @@ def get_dataset_info(dataset_name: str) -> dict:
 
 
 def default_data_root() -> Path:
-    """Persistent-volume auto-detection (upstream datasets.py:99-108)."""
+    """Persistent-volume auto-detection (upstream datasets.py:99-108).
+
+    NV_DATA_DIR overrides everything: point it at any mount holding the
+    standard CIFAR pickle tarball (cifar-10-python.tar.gz /
+    cifar-100-python.tar.gz, extracted or not) and the loader uses it
+    directly — no downloader involved (real-data readiness drill; the
+    download path stays as the fallback for networked hosts)."""
+    env = os.environ.get("NV_DATA_DIR")
+    if env:
+        return Path(env)
     if Path("/runpod-volume").exists():
         return Path("/runpod-volume/datasets")
     return Path("./data/raw")
@@ -345,6 +354,7 @@ class GenericVisionDataset:
         synthetic_fallback: bool = True,
         synthetic_size: int = 512,
         seed: int = 0,
+        synthetic_class_seed: Optional[int] = None,
     ):
         self.dataset_name = dataset_name
         self.split = split
@@ -385,11 +395,19 @@ class GenericVisionDataset:
                 if dataset_name == "synthetic-hard"
                 else _synthetic_dataset
             )
+            gen_kwargs = {}
+            if synthetic_class_seed is not None:
+                # A different class_seed is a different GENERATOR VARIANT
+                # (new atom dictionary + class signatures) at the same
+                # difficulty recipe — used by the seed-variance harness to
+                # separate task-instance luck from training-seed noise.
+                gen_kwargs["class_seed"] = int(synthetic_class_seed)
             loaded = generator(
                 self.dataset_info["num_classes"],
                 self.target_size,
                 n,
                 seed=seed + (0 if is_train else 10_000),
+                **gen_kwargs,
             )
 
         images, labels = loaded

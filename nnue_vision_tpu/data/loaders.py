@@ -75,6 +75,7 @@ def create_data_loaders(
     seed: int = 0,
     synthetic_fallback: bool = True,
     synthetic_size: int = 512,
+    synthetic_class_seed: Optional[int] = None,
 ) -> Tuple[ArrayLoader, ArrayLoader, ArrayLoader]:
     """Returns (train_loader, val_loader, test_loader)."""
     del num_workers
@@ -89,6 +90,7 @@ def create_data_loaders(
         synthetic_fallback=synthetic_fallback,
         synthetic_size=synthetic_size,
         seed=seed,
+        synthetic_class_seed=synthetic_class_seed,
     )
     train_ds = GenericVisionDataset(
         split="train", use_augmentation=use_augmentation, **common

@@ -310,9 +310,12 @@ def _q_relu6_round(x):
     return _ste(x, jnp.clip(jnp.round(jnp.clip(x, 0.0, 6.0)), 0.0, 6.0))
 
 
-def _q_act_lsq(x, s, round_fn):
+def _q_act_lsq(x, s, round_fn, restore=None):
     """LSQ 7-level activation with learnable per-channel scale s:
-    value = clip(round_fn(x/s), 0, 6) · s.
+    value = clip(round_fn(x/s), 0, 6) · s (or · `restore` when the
+    deployed restore multiplier differs from the training scale — the
+    final-block amplifier serializes as round(64·s)/64, see the
+    serializer's diag(s3) quantization).
 
     Straight-through on round_fn; autodiff then yields the LSQ scale
     gradient automatically: ∂/∂s = round(z)−z in-range, 0 or 6 at the clip
@@ -326,7 +329,7 @@ def _q_act_lsq(x, s, round_fn):
     """
     z = x / s
     zq = jnp.clip(_ste(z, round_fn(z)), 0.0, 6.0)
-    return zq * s
+    return zq * (s if restore is None else restore)
 
 
 def _q_grid16(x):
@@ -453,7 +456,12 @@ def etinynet_apply(
     x = _conv(x, final_w.astype(dtype))
     x, new_state["final_bn"] = _batch_norm(x, params["final_bn"], state["final_bn"], train)
     if q:
-        x = _q_act_lsq(x, s3, jnp.round)
+        # Deployment restores this activation through the amplifier
+        # diag, which serializes as round(64·s3)/64 per channel — use
+        # that exact multiplier (straight-through for the s3 gradient)
+        # so there is no train/deploy drift (ADVICE r2).
+        s3_deploy = _ste(s3, jnp.round(s3 * 64.0) / 64.0)
+        x = _q_act_lsq(x, s3, jnp.round, restore=s3_deploy)
     elif ef:
         x = jnp.clip(x, 0.0, 6.0 * s3)
     else:

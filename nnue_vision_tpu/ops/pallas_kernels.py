@@ -65,8 +65,8 @@ def _wrap_i16_i32(x: jnp.ndarray) -> jnp.ndarray:
     return ((x & 0xFFFF) ^ 0x8000) - 0x8000
 
 
-def _head_kernel(
-    acc_ref,       # (TILE_B, FR) f32 — int-valued conv accumulator or buffer
+def _head_body(
+    x,             # (TILE_B, FR) f32 — int-valued conv accumulator or buffer
     thresh_ref,    # (1, 1) f32 SMEM
     padsum_ref,    # (1, L1) f32 — sum of FT rows for the n_pad zero features
     ft_w_ref,      # (FR, L1) f32 or bf16
@@ -88,7 +88,11 @@ def _head_kernel(
     conv_scale: int,
     n_pad: int,
 ):
-    x = acc_ref[:]
+    """Shared post-conv pipeline: epilogue → threshold → FT → dense stack.
+
+    `x` is the already-loaded int-valued accumulator tile; writes logits
+    (and optionally the active-feature count) into the output refs.
+    """
     if conv_scale != 1:
         # conv epilogue (nnue_engine.cpp:92): truncating /scale, clamp ±127.
         # Exact: the scale is a power of two, so x/scale is exact in f32 and
@@ -147,6 +151,80 @@ def _head_kernel(
         preferred_element_type=jnp.float32,
     )
     logits_ref[:] = (out + out_b_ref[:]) * np.float32(1.0 / out_scale)
+
+
+def _head_kernel(acc_ref, *refs, **kw):
+    """Head-only kernel: accumulator tile arrives precomputed from HBM."""
+    _head_body(acc_ref[:], *refs, **kw)
+
+
+def _mega_kernel(
+    img_ref,       # (TILE_B, H·W·3) f32 — raw normalized image, flat HWC
+    wfull_ref,     # (H·W·3, FR) bf16 — conv lifted to a dense matrix
+    cbias_ref,     # (1, FR) f32 — conv bias broadcast per feature
+    *refs,
+    in_scale: float,
+    **kw,
+):
+    """Whole-pipeline kernel: input quantization + conv-as-matmul + head.
+
+    The 3×3 strided conv is expressed as one dense (H·W·3, FR) matmul
+    (`conv_as_matrix`): each output feature reads ≤27 input values, the
+    rest of its matrix column is zero. The ~100× FLOP padding is free on
+    the MXU at this size — the matmul lands the conv accumulator directly
+    in lane-major (TILE_B, FR) registers, eliminating the XLA relayout of
+    the 4-D NHWC conv output into the packed kernel operand that capped
+    the composed conv+head pipeline at ~58% of its stage bound.
+
+    Exactness: quantized inputs trunc(x·scale) are integers; the kernel
+    requires |qx| ≤ 256 (callers assert via `conv_inputs_bf16_safe`) so
+    the bf16 cast and MXU f32 accumulation are exact, matching
+    `_quantize_input` + `_int_conv3x3` bit for bit.
+    """
+    qx = jnp.trunc(img_ref[:] * np.float32(in_scale)).astype(jnp.bfloat16)
+    acc = jnp.dot(qx, wfull_ref[:], preferred_element_type=jnp.float32)
+    _head_body(acc + cbias_ref[:], *refs, **kw)
+
+
+def conv_as_matrix(
+    conv_w: np.ndarray,  # (C_out, 3, 3, 3) int-valued, OIHW
+    conv_b: np.ndarray,  # (C_out,) int-valued
+    image_h: int,
+    image_w: int,
+    stride: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Lift the engine's 3×3 pad-1 strided conv to a dense matrix.
+
+    Returns (W_full (H·W·3, FR) f32, bias_row (1, FR) f32) such that
+    `img_flat @ W_full + bias_row` equals the flat NHWC int32 conv
+    accumulator of `_int_conv3x3` (nnue_engine.cpp:48-157 semantics);
+    feature index f = (i·ow + j)·C + c, input index v = (h·W + w)·3 + cin
+    — exactly the layouts of the engine's conv buffer and its flat
+    float input (nnue_inference.cpp:23-30).
+    """
+    conv_w = np.asarray(conv_w, np.float32)
+    conv_b = np.asarray(conv_b, np.float32)
+    c_out = conv_w.shape[0]
+    oh = (image_h + 2 - 3) // stride + 1
+    ow = (image_w + 2 - 3) // stride + 1
+    fr = oh * ow * c_out
+    wfull = np.zeros((image_h * image_w * 3, fr), np.float32)
+    for i in range(oh):
+        for j in range(ow):
+            for kh in range(3):
+                h = i * stride + kh - 1
+                if h < 0 or h >= image_h:
+                    continue
+                for kw in range(3):
+                    w = j * stride + kw - 1
+                    if w < 0 or w >= image_w:
+                        continue
+                    for cin in range(3):
+                        v = (h * image_w + w) * 3 + cin
+                        base = (i * ow + j) * c_out
+                        wfull[v, base:base + c_out] = conv_w[:, cin, kh, kw]
+    bias_row = np.broadcast_to(conv_b, (oh * ow, c_out)).reshape(1, fr)
+    return wfull, np.ascontiguousarray(bias_row, np.float32)
 
 
 def pallas_head_params(sim_params: Dict) -> Dict:
@@ -297,6 +375,165 @@ def _fused_head_call(
         logits, count = outs
         return logits[:b], count[:b, 0]
     return outs[0][:b], None
+
+
+def mega_head_params(
+    sim_params: Dict, cfg: NNUESimCfg, image_h: int, image_w: int
+) -> Dict:
+    """Head params + the conv-as-matrix operands for the megafused kernel."""
+    stride = engine_conv_stride(image_h, cfg.grid_size)
+    wfull, cbias = conv_as_matrix(
+        np.asarray(sim_params["conv_w"]),
+        np.asarray(sim_params["conv_b"]),
+        image_h, image_w, stride,
+    )
+    if wfull.size * 2 > 48 * 1024 * 1024:
+        raise ValueError(
+            f"conv-as-matrix operand ({wfull.shape}) exceeds the VMEM "
+            "budget for the megafused kernel; use "
+            "nnue_engine_forward_fused for this image size"
+        )
+    if float(np.max(np.abs(wfull))) > _BF16_EXACT:
+        raise ValueError("conv weights exceed the bf16 exact-integer window")
+    params = pallas_head_params(sim_params)
+    params["conv_wfull"] = jnp.asarray(wfull, jnp.bfloat16)
+    params["conv_bias_row"] = jnp.asarray(cbias, jnp.float32)
+    return params
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "image_h", "image_w", "interpret",
+                              "tile_b", "with_count")
+)
+def nnue_engine_forward_mega(
+    head_params: Dict,
+    images_flat: jnp.ndarray,  # (B, H·W·3) f32, flat HWC (engine .bin order)
+    *,
+    cfg: NNUESimCfg,
+    image_h: int,
+    image_w: int,
+    tile_b: int = 512,
+    interpret: bool = False,
+    with_count: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Single-kernel bit-exact NNUE int8 inference: image in, logits out.
+
+    The entire pipeline of `/root/reference/engine/src/nnue_engine.cpp:659-734`
+    — input quantization, 3×3 strided conv (as one dense MXU matmul, see
+    `_mega_kernel`), epilogue, threshold, feature transformer, pairwise,
+    dense stack — runs in one Pallas kernel; no intermediate ever touches
+    HBM. Input arrives flat (B, H·W·3), the same layout the engine CLI
+    reads from its `.bin` files (nnue_inference.cpp:23-30), so serving
+    needs no device-side relayout at all.
+
+    Precondition (asserted by callers on host data via
+    `conv_inputs_bf16_safe`): every |trunc(x·conv_scale)| ≤ 256, which
+    production-normalized images satisfy with ~30% margin.
+    """
+    b = images_flat.shape[0]
+    params = head_params
+    fr = params["conv_wfull"].shape[1]
+    num_features = cfg.grid_size * cfg.grid_size * cfg.channels
+    n_pad = num_features - fr
+    if n_pad < 0:
+        raise ValueError("conv output exceeds feature grid — invalid config")
+    conv_scale = cfg.conv_scale
+    if conv_scale <= 0 or conv_scale & (conv_scale - 1):
+        raise ValueError(
+            f"conv scale {conv_scale} is not a power of two; the fused "
+            "kernel's in-VMEM truncating division requires pow2 scales"
+        )
+    l1 = cfg.l1
+    hw3 = images_flat.shape[1]
+
+    ft_w = params["ft_w"]
+    ft_w_real = ft_w[:fr]
+    if n_pad:
+        padsum = jnp.sum(ft_w[fr:].astype(jnp.float32), axis=0, keepdims=True)
+    else:
+        padsum = jnp.zeros((1, l1), jnp.float32)
+
+    tile_b = min(tile_b, max(8, b))
+    pad_b = (-b) % tile_b
+    if pad_b:
+        images_flat = jnp.pad(images_flat, ((0, pad_b), (0, 0)))
+    bp = images_flat.shape[0]
+
+    kernel = functools.partial(
+        _mega_kernel,
+        in_scale=float(conv_scale),
+        l1=l1,
+        qone=cfg.quantized_one,
+        s1=cfg.fc1_scale,
+        s2=cfg.fc2_scale,
+        out_scale=cfg.out_scale,
+        conv_scale=conv_scale,
+        n_pad=n_pad,
+    )
+
+    n_tiles = bp // tile_b
+    full = lambda *_: (0, 0)  # noqa: E731 — whole-array blocks each step
+    out_specs = [
+        pl.BlockSpec((tile_b, cfg.num_classes), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((bp, cfg.num_classes), jnp.float32)]
+    if with_count:
+        out_specs.append(
+            pl.BlockSpec((tile_b, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((bp, 8), jnp.int32))
+    else:
+        kernel = functools.partial(kernel, count_ref=None)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile_b, hw3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hw3, fr), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fr), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, l1), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((fr, l1), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l1), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((l1, cfg.l2), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cfg.l2), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((cfg.l2, cfg.l3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cfg.l3), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((cfg.l3, cfg.num_classes), full,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cfg.num_classes), full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ) if not interpret else None,
+        interpret=interpret,
+    )(
+        images_flat,
+        params["conv_wfull"],
+        params["conv_bias_row"],
+        params["thresh"],
+        padsum,
+        ft_w_real,
+        params["ft_b"],
+        params["fc1_w"],
+        params["fc1_b"],
+        params["fc2_w"],
+        params["fc2_b"],
+        params["out_w"],
+        params["out_b"],
+    )
+    if with_count:
+        logits, count = outs
+        count = count[:b, 0]
+        density = count.astype(jnp.float32) / np.float32(num_features)
+        return logits[:b], density, count
+    return outs[0][:b], None, None
 
 
 def fused_nnue_head(

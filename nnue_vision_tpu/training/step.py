@@ -36,7 +36,8 @@ def make_train_state(params, optimizer, batch_stats=None) -> TrainState:
     )
 
 
-def _loss_and_logits(model_type, model_cfg, params, batch_stats, images, labels):
+def _loss_and_logits(model_type, model_cfg, params, batch_stats, images, labels,
+                     teacher=None):
     if model_type == "nnue":
         logits = nnue_apply(params, images, model_cfg)
         new_stats = batch_stats
@@ -45,11 +46,29 @@ def _loss_and_logits(model_type, model_cfg, params, batch_stats, images, labels)
             params, batch_stats, images, model_cfg, train=True
         )
     loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+    if teacher is not None:
+        # Knowledge distillation (Hinton et al. 2015): soften both
+        # distributions at temperature T, cross-entropy against the frozen
+        # teacher, gradient rescaled by T². Used by the format-ceiling
+        # oracle: distill the unconstrained float model into the
+        # engine_friendly (7-level-activation) student to measure what the
+        # deployment format can actually carry.
+        t_cfg, t_params, t_stats, alpha, temp = teacher
+        if model_type == "nnue":
+            t_logits = nnue_apply(t_params, images, t_cfg)
+        else:
+            t_logits, _ = etinynet_apply(
+                t_params, t_stats, images, t_cfg, train=False
+            )
+        t_prob = jax.nn.softmax(jax.lax.stop_gradient(t_logits) / temp)
+        kd = optax.softmax_cross_entropy(logits / temp, t_prob).mean()
+        loss = alpha * loss + (1.0 - alpha) * (temp * temp) * kd
     return loss, (logits, new_stats)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("model_type", "model_cfg", "optimizer", "clip_weights")
+    jax.jit, static_argnames=("model_type", "model_cfg", "optimizer", "clip_weights",
+                              "teacher_cfg", "distill_alpha", "distill_temp")
 )
 def train_step(
     state: TrainState,
@@ -60,11 +79,21 @@ def train_step(
     model_cfg,
     optimizer: optax.GradientTransformation,
     clip_weights: bool = True,
+    teacher_cfg=None,
+    teacher_params=None,
+    teacher_stats=None,
+    distill_alpha: float = 0.5,
+    distill_temp: float = 4.0,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One optimizer step. Returns (new_state, {"loss", "accuracy"})."""
+    teacher = None
+    if teacher_cfg is not None:
+        teacher = (teacher_cfg, teacher_params, teacher_stats,
+                   distill_alpha, distill_temp)
     (loss, (logits, new_stats)), grads = jax.value_and_grad(
         _loss_and_logits, argnums=2, has_aux=True
-    )(model_type, model_cfg, state.params, state.batch_stats, images, labels)
+    )(model_type, model_cfg, state.params, state.batch_stats, images, labels,
+      teacher)
 
     updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
@@ -87,7 +116,7 @@ def train_step(
     jax.jit,
     static_argnames=(
         "model_type", "model_cfg", "optimizer", "clip_weights", "strength",
-        "augment",
+        "augment", "teacher_cfg", "distill_alpha", "distill_temp",
     ),
 )
 def scanned_train_steps(
@@ -103,6 +132,11 @@ def scanned_train_steps(
     strength: str = "medium",
     augment: bool = True,
     clip_weights: bool = True,
+    teacher_cfg=None,
+    teacher_params=None,
+    teacher_stats=None,
+    distill_alpha: float = 0.5,
+    distill_temp: float = 4.0,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """K optimizer steps in ONE device dispatch via lax.scan.
 
@@ -124,6 +158,9 @@ def scanned_train_steps(
             st, x, labels,
             model_type=model_type, model_cfg=model_cfg, optimizer=optimizer,
             clip_weights=clip_weights,
+            teacher_cfg=teacher_cfg, teacher_params=teacher_params,
+            teacher_stats=teacher_stats, distill_alpha=distill_alpha,
+            distill_temp=distill_temp,
         )
         return st, metrics
 
@@ -135,7 +172,7 @@ def scanned_train_steps(
     jax.jit,
     static_argnames=(
         "model_type", "model_cfg", "optimizer", "clip_weights", "strength",
-        "augment",
+        "augment", "teacher_cfg", "distill_alpha", "distill_temp",
     ),
 )
 def gathered_train_step(
@@ -151,6 +188,11 @@ def gathered_train_step(
     strength: str = "medium",
     augment: bool = True,
     clip_weights: bool = True,
+    teacher_cfg=None,
+    teacher_params=None,
+    teacher_stats=None,
+    distill_alpha: float = 0.5,
+    distill_temp: float = 4.0,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """Device-resident input pipeline: gather batch by index → augment →
     normalize → train step, all in ONE compiled program. Removes the
@@ -165,6 +207,9 @@ def gathered_train_step(
         state, x, labels,
         model_type=model_type, model_cfg=model_cfg, optimizer=optimizer,
         clip_weights=clip_weights,
+        teacher_cfg=teacher_cfg, teacher_params=teacher_params,
+        teacher_stats=teacher_stats, distill_alpha=distill_alpha,
+        distill_temp=distill_temp,
     )
 
 

@@ -1,8 +1,18 @@
 #!/usr/bin/env python3
 """Comprehensive test runner: every suite including engine parity and real
 training (upstream run_comprehensive_tests.py, with its dead-code NameError
-fixed by not existing here)."""
+fixed by not existing here).
 
+The upstream-interchange suite is self-sustaining: this runner builds the
+UNMODIFIED reference engine from NV_REF_SRC (default
+/root/reference/engine) into NV_REF_ENGINE_DIR (default /tmp/ref_build)
+and runs tests/test_upstream_interchange.py with NV_REQUIRE_UPSTREAM=1, so
+the bit-exact interchange evidence either runs against real upstream
+binaries or fails loudly — it can no longer silently skip on a stale /tmp
+directory. Set NV_SKIP_UPSTREAM=1 only on hosts without the reference
+source tree."""
+
+import os
 import subprocess
 import sys
 import time
@@ -40,12 +50,45 @@ def run_cpp_suite() -> bool:
     return True
 
 
+def build_reference_engine() -> bool:
+    """Build the unmodified upstream engine CLIs as the interchange oracle.
+
+    Source: NV_REF_SRC (default /root/reference/engine — the reference
+    CMake project, engine/CMakeLists.txt upstream). Only the two inference
+    binaries the interchange tests drive are built."""
+    from pathlib import Path
+
+    src = Path(os.environ.get("NV_REF_SRC", "/root/reference/engine"))
+    build = Path(os.environ.get("NV_REF_ENGINE_DIR", "/tmp/ref_build"))
+    if not (src / "CMakeLists.txt").exists():
+        print(f"reference engine source not found at {src}")
+        return False
+    steps = [
+        ["cmake", "-S", str(src), "-B", str(build),
+         "-DCMAKE_BUILD_TYPE=Release"],
+        ["cmake", "--build", str(build), "--parallel", "--target",
+         "nnue_inference", "etinynet_inference"],
+    ]
+    for cmd in steps:
+        if subprocess.run(cmd).returncode != 0:
+            return False
+    return (build / "nnue_inference").exists()
+
+
 def main() -> int:
     t0 = time.perf_counter()
     failed = []
     print("=== C++ engine (ctest) ===")
     if not run_cpp_suite():
         failed.append("C++ engine")
+
+    skip_upstream = os.environ.get("NV_SKIP_UPSTREAM") == "1"
+    if not skip_upstream:
+        print("\n=== reference engine build (interchange oracle) ===")
+        if not build_reference_engine():
+            failed.append("reference engine build")
+            skip_upstream = True  # no point running tests guaranteed to fail
+
     for name, paths in SUITES:
         print(f"\n=== {name} ===")
         result = subprocess.run(
@@ -53,6 +96,19 @@ def main() -> int:
         )
         if result.returncode != 0:
             failed.append(name)
+
+    if not skip_upstream:
+        print("\n=== upstream interchange (bit-exact vs reference binaries) ===")
+        env = dict(os.environ)
+        env.setdefault("NV_REF_ENGINE_DIR", "/tmp/ref_build")
+        env["NV_REQUIRE_UPSTREAM"] = "1"
+        result = subprocess.run(
+            [sys.executable, "-m", "pytest",
+             "tests/test_upstream_interchange.py", "-q", "--no-header"],
+            env=env,
+        )
+        if result.returncode != 0:
+            failed.append("upstream interchange")
     elapsed = time.perf_counter() - t0
     print(f"\ncomprehensive suite finished in {elapsed:.1f}s")
     if failed:

@@ -5,7 +5,8 @@ Times, with the readback-forced dependency-chained method (bench.py's
 timing contract), each stage of the fused path at serving batch size:
 
   conv_f32   — the XLA conv frontend as shipped (f32 integer-valued)
-  conv_bf16  — same conv with bf16 MXU feeds (exact while |qx| ≤ 512;
+  conv_bf16  — same conv with bf16 MXU feeds (exact while |qx| ≤ 256,
+               the bf16 exact-integer window — engine_sim._BF16_EXACT_INT;
                production-normalized images give |qx| ≤ ~192 at scale 64)
   head       — the Pallas fused head alone (raw accumulator precomputed)
   xla_full   — ops/engine_sim.nnue_engine_forward (the XLA baseline)
@@ -48,7 +49,9 @@ from nnue_vision_tpu.ops.engine_sim import (  # noqa: E402
 )
 from nnue_vision_tpu.ops.pallas_kernels import (  # noqa: E402
     _fused_head_call,
+    mega_head_params,
     nnue_engine_forward_fused,
+    nnue_engine_forward_mega,
     pallas_head_params,
 )
 
@@ -171,7 +174,37 @@ def main() -> int:
                 interpret=interp, conv_mode="bf16", with_count=False)[0],
             data),
     }
-    out = {"batch": batch, "bf16_conv_exact": bf16_exact}
+    # Megafused single-kernel path: input arrives flat (B, H·W·3) — the
+    # engine .bin serving layout — so no device-side relayout anywhere.
+    mega = mega_head_params(sim_params, cfg, 32, 32)
+    data_flat = data.reshape(n_buf, batch, 32 * 32 * 3)
+    mega_probe = np.asarray(nnue_engine_forward_mega(
+        mega, data_flat[0], cfg=cfg, image_h=32, image_w=32,
+        interpret=interp)[0])
+    ref_probe = np.asarray(nnue_engine_forward(
+        sim_params, data[0], cfg=cfg, image_h=32, image_w=32)[0])
+    mega_exact = bool(np.array_equal(mega_probe, ref_probe))
+
+    stages["mega_full"] = lambda: chained_ms(
+        lambda x: nnue_engine_forward_mega(
+            mega, x, cfg=cfg, image_h=32, image_w=32, interpret=interp)[0],
+        data_flat)
+    stages["mega_serve"] = lambda: chained_ms(
+        lambda x: nnue_engine_forward_mega(
+            mega, x, cfg=cfg, image_h=32, image_w=32, interpret=interp,
+            with_count=False)[0],
+        data_flat)
+    for tb in (256, 512, 1024):
+        if tb > batch:
+            continue
+        stages[f"mega_serve_tile{tb}"] = lambda tb=tb: chained_ms(
+            lambda x: nnue_engine_forward_mega(
+                mega, x, cfg=cfg, image_h=32, image_w=32, tile_b=tb,
+                interpret=interp, with_count=False)[0],
+            data_flat)
+
+    out = {"batch": batch, "bf16_conv_exact": bf16_exact,
+           "mega_exact": mega_exact}
     for name, f in stages.items():
         try:
             ms = f()

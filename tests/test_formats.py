@@ -143,3 +143,41 @@ def test_truncated_file_rejected(rng, tmp_path):
     truncated.write_bytes(path.read_bytes()[: path.stat().st_size // 2])
     with pytest.raises((FormatError, struct.error)):
         read_nnue(truncated)
+
+
+def test_multibucket_layer_stack_rejected(rng, tmp_path):
+    """ROADMAP #7 resolution: num_ls_buckets > 1 is an explicit,
+    tested REJECTION, not undefined behavior. The format carries the
+    field (header offset 24, /root/reference/serialize.py:44) but both
+    upstream and this framework only ever write 1, and the upstream
+    reader's layer-stack parsing assumes a single bucket
+    (/root/reference/engine/src/nnue_engine.cpp:557) — silently
+    accepting >1 would mis-parse the payload. Our readers (Python
+    formats.py and engine/src/nnue.cpp:68-69) refuse loudly instead."""
+    import struct as _struct
+
+    q = random_quantized_nnue(rng)
+    path = tmp_path / "m.nnue"
+    write_nnue(q, path)
+    blob = bytearray(path.read_bytes())
+    # header: magic(4) version(4) num_features(4) l1(4) l2(4) l3(4) → buckets
+    assert _struct.unpack_from("<I", blob, 24)[0] == 1
+    _struct.pack_into("<I", blob, 24, 2)
+    bad = tmp_path / "twobucket.nnue"
+    bad.write_bytes(bytes(blob))
+    with pytest.raises(FormatError, match="bucket"):
+        read_nnue(bad)
+
+    # the C++ engine must reject the same file (when a build is present)
+    import subprocess
+    from pathlib import Path
+
+    exe = Path("engine/build/nnue_inference")
+    if exe.exists():
+        img = tmp_path / "img.bin"
+        np.zeros((32, 32, 3), np.float32).tofile(img)
+        r = subprocess.run(
+            [str(exe), str(bad), str(img), "32", "32"],
+            capture_output=True, text=True, timeout=30,
+        )
+        assert r.returncode != 0, "engine accepted a multi-bucket file"

@@ -9,7 +9,9 @@ import pytest
 from nnue_vision_tpu.ops.engine_sim import nnue_engine_forward, nnue_sim_params
 from nnue_vision_tpu.ops.pallas_kernels import (
     fused_nnue_head,
+    mega_head_params,
     nnue_engine_forward_fused,
+    nnue_engine_forward_mega,
     pallas_head_params,
 )
 from tests.conftest import random_quantized_nnue
@@ -32,6 +34,43 @@ def test_fused_forward_matches_engine_sim(rng, grid, ch, h):
     )
     np.testing.assert_array_equal(np.asarray(logits), np.asarray(ref_logits))
     np.testing.assert_array_equal(np.asarray(count), np.asarray(ref_count))
+
+
+@pytest.mark.parametrize("grid,ch,h,thresh", [
+    (4, 6, 12, 0.1),       # n_pad > 0, inactive padding
+    (4, 6, 12, -0.25),     # n_pad > 0, ACTIVE padding constant
+    (5, 4, 12, 0.1),       # exact-fit grid
+])
+def test_mega_forward_matches_engine_sim(rng, grid, ch, h, thresh):
+    """The single-kernel megafused path (in-kernel quantize + conv-as-
+    matmul + head) must be bit-identical to the engine sim — and its
+    input is the flat HWC layout the engine CLI reads
+    (nnue_inference.cpp:23-30 upstream)."""
+    q = random_quantized_nnue(rng, grid=grid, ch=ch, l1=16, l2=8, l3=4,
+                              num_classes=3, visual_threshold=thresh)
+    params, cfg = nnue_sim_params(q)
+    head = mega_head_params(params, cfg, h, h)
+    imgs = (rng.random((5, h, h, 3), dtype=np.float32) * 2 - 0.5).astype(
+        np.float32
+    )
+    ref_logits, ref_density, ref_count = nnue_engine_forward(
+        params, imgs, cfg=cfg, image_h=h, image_w=h
+    )
+    logits, density, count = nnue_engine_forward_mega(
+        head, jnp.asarray(imgs.reshape(5, -1)), cfg=cfg, image_h=h,
+        image_w=h, tile_b=8, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(logits), np.asarray(ref_logits))
+    np.testing.assert_array_equal(np.asarray(count), np.asarray(ref_count))
+    # non-divisible batch (padding path) + logits-only serving mode
+    logits2, d2, c2 = nnue_engine_forward_mega(
+        head, jnp.asarray(imgs.reshape(5, -1))[:3], cfg=cfg, image_h=h,
+        image_w=h, tile_b=8, interpret=True, with_count=False
+    )
+    assert d2 is None and c2 is None
+    np.testing.assert_array_equal(
+        np.asarray(logits2), np.asarray(ref_logits)[:3]
+    )
 
 
 def test_fused_forward_negative_threshold_activates_padding(rng):

@@ -21,8 +21,20 @@ from tests.conftest import random_quantized_etiny, random_quantized_nnue
 
 REF_DIR = Path(os.environ.get("NV_REF_ENGINE_DIR", "/tmp/ref_build"))
 
+_have_binaries = (REF_DIR / "nnue_inference").exists()
+if os.environ.get("NV_REQUIRE_UPSTREAM") == "1" and not _have_binaries:
+    # The comprehensive runner builds the reference engine itself and sets
+    # this flag: the keystone interchange evidence must never silently
+    # degrade to a skip because of a stale build directory (VERDICT r2
+    # weak #5). A collection-time error fails the suite loudly.
+    raise RuntimeError(
+        f"NV_REQUIRE_UPSTREAM=1 but upstream engine binaries are missing "
+        f"at {REF_DIR} — reference build failed or NV_REF_ENGINE_DIR is "
+        "wrong; refusing to skip the interchange tests"
+    )
+
 pytestmark = pytest.mark.skipif(
-    not (REF_DIR / "nnue_inference").exists(),
+    not _have_binaries,
     reason="upstream engine binaries not available (set NV_REF_ENGINE_DIR)",
 )
 

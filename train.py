@@ -45,6 +45,18 @@ def setup_argument_parser() -> argparse.ArgumentParser:
                                  "synthetic-hard"],
                         help="Dataset to use")
     parser.add_argument("--num_classes", type=int, help="Number of classes")
+    parser.add_argument("--seed", type=int,
+                        help="Override training/data seed (variance studies)")
+    parser.add_argument("--synthetic_class_seed", type=int,
+                        help="Synthetic-hard generator variant (atom "
+                             "dictionary + class signatures)")
+    parser.add_argument("--distill_from", type=str,
+                        help="Checkpoint path of a frozen teacher for "
+                             "knowledge distillation")
+    parser.add_argument("--ef_warmup_epochs", type=int,
+                        help="Override progressive-QAT warmup epochs")
+    parser.add_argument("--name_suffix", type=str,
+                        help="Suffix appended to the config name (run labeling)")
     # Multi-host (DCN) surface: every host runs the same command with its
     # own --process-id; omit all three on real TPU pods for auto-discovery
     # (parallel/distributed.py; SURVEY.md §2.15 DCN row).
@@ -66,12 +78,15 @@ def load_and_setup_config(args: argparse.Namespace, model_type: str):
 
     for attr in ("batch_size", "max_epochs", "learning_rate", "note",
                  "use_augmentation", "augmentation_strength", "num_classes",
-                 "dataset_name", "etinynet_variant"):
+                 "dataset_name", "etinynet_variant", "seed",
+                 "synthetic_class_seed", "distill_from", "ef_warmup_epochs"):
         value = getattr(args, attr, None)
         if value is not None:
             setattr(config, attr, value)
     if args.log_dir:
         config.log_dir = args.log_dir
+    if getattr(args, "name_suffix", None):
+        config.name = f"{config.name}_{args.name_suffix}"
     return config
 
 
@@ -84,6 +99,15 @@ def main() -> int:
     if os.environ.get("NV_REQUIRE_WANDB") == "1" and not os.getenv("WANDB_API_KEY"):
         early_log("Error: WANDB_API_KEY required (NV_REQUIRE_WANDB=1)")
         return 1
+
+    # NV_PLATFORM=cpu forces the CPU backend in-process. This machine
+    # pins JAX_PLATFORMS=axon at a level a plain env var does not
+    # reliably override (same fix as tests/conftest.py) — needed for CPU
+    # smoke runs while the TPU is occupied by a training queue.
+    if os.environ.get("NV_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["NV_PLATFORM"])
 
     # Must run before anything touches a JAX backend.
     if args.coordinator or args.num_hosts or os.environ.get(
