@@ -161,8 +161,12 @@ def main() -> None:
     infer_batch = 8192
     infer_reps = 400
     n_buf = 4
-    infer_data = jnp.asarray(
-        rng.random((n_buf, infer_batch, 32, 32, 3), dtype=np.float32)
+    host_infer = rng.random((n_buf, infer_batch, 32, 32, 3), dtype=np.float32)
+    infer_data = jnp.asarray(host_infer)
+    # flat engine-serving layout (nnue_inference.cpp:23-30 byte order) for
+    # the megafused kernel — flattened on host so the device never relayouts
+    infer_flat = jnp.asarray(
+        host_infer.reshape(n_buf, infer_batch, 32 * 32 * 3)
     )
 
     def timed_infer(fwd):
@@ -252,6 +256,75 @@ def main() -> None:
         pallas_serve_ips = 0.0
         print(f"# pallas path unavailable: {e}", flush=True)
 
+    # Megafused single-kernel pipeline: in-kernel input quantization +
+    # conv-as-one-MXU-matmul + full head; input arrives in the flat HWC
+    # serving layout, every intermediate stays in VMEM (full semantics of
+    # nnue_engine.cpp:659-734 upstream incl. density/count).
+    #
+    # Timing is SCALAR-chained: reps serialize through a scalar operand
+    # (threshold + prev_logit·0.0 — not constant-foldable under NaN
+    # semantics) instead of a data-dependent buffer gather. Pallas
+    # operands cannot fuse a dynamic slice, so the buffer-gather chain
+    # pays a full 100MB input copy per rep — a +0.30 ms/batch HARNESS
+    # artifact (measured: scripts/profile_mega_bisect.py,
+    # v4_full_buffergather_ms vs v4_full_ms). Each rep still re-reads
+    # the whole input from HBM inside the kernel and cannot overlap or
+    # CSE with its neighbors.
+    mega_ips = mega_serve_ips = 0.0
+    try:
+        from nnue_vision_tpu.ops.pallas_kernels import (
+            mega_head_params,
+            nnue_engine_forward_mega,
+        )
+
+        mega_head = mega_head_params(sim_params, sim_cfg, 32, 32)
+
+        def timed_mega(with_count):
+            @jax.jit
+            def run(d):
+                def body(carry, _):
+                    h2 = dict(mega_head)
+                    h2["thresh"] = mega_head["thresh"] + carry * 0.0
+                    out = nnue_engine_forward_mega(
+                        h2, d, cfg=sim_cfg, image_h=32, image_w=32,
+                        with_count=with_count,
+                    )[0]
+                    lead = out.reshape(-1)[0]
+                    return lead, lead
+
+                _, outs = jax.lax.scan(
+                    body, jnp.float32(0.0), None, length=infer_reps
+                )
+                return outs[-1]
+
+            np.asarray(run(infer_flat[0]))  # compile + warm readback
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(run(infer_flat[0]))
+                best = min(best, time.perf_counter() - t0)
+            ms = best / infer_reps * 1000.0
+            return infer_batch / (ms / 1000.0), ms
+
+        # bit-exactness gate: the megafused kernel must reproduce the XLA
+        # engine sim (itself bit-exact vs the C++ binaries) on this batch
+        mega_logits, _, mega_count = nnue_engine_forward_mega(
+            mega_head, infer_flat[0], cfg=sim_cfg, image_h=32, image_w=32
+        )
+        ref_logits, _, ref_count = xla_fwd(infer_data[0])
+        assert np.array_equal(np.asarray(mega_logits), np.asarray(ref_logits)), (
+            "megafused kernel diverged from XLA sim"
+        )
+        assert np.array_equal(np.asarray(mega_count), np.asarray(ref_count))
+
+        mega_ips, _ = timed_mega(True)
+        mega_mfu = mega_ips * fwd_flops / peak
+        assert mega_mfu < 1.0, f"impossible: mega MFU {mega_mfu:.3f} ≥ 1"
+        mega_serve_ips, _ = timed_mega(False)
+        assert mega_serve_ips * fwd_flops / peak < 1.0
+    except Exception as e:
+        print(f"# megafused path unavailable: {e}", flush=True)
+
     print(json.dumps({
         "metric": "cifar10_nnue_train_images_per_sec_per_chip",
         "value": round(train_ips, 1),
@@ -262,8 +335,12 @@ def main() -> None:
             "train_final_loss": round(final_loss, 4),
             "int8_infer_images_per_sec": round(infer_ips, 1),
             "int8_infer_mfu": round(infer_mfu, 5),
-            "int8_pallas_images_per_sec": round(pallas_ips, 1),
-            "int8_pallas_logits_only_images_per_sec": round(
+            # the flagship Pallas pipeline is the megafused single kernel
+            # (image in → logits+density out, bit-exactness asserted above)
+            "int8_pallas_images_per_sec": round(mega_ips, 1),
+            "int8_pallas_serve_images_per_sec": round(mega_serve_ips, 1),
+            "int8_pallas_fused_head_images_per_sec": round(pallas_ips, 1),
+            "int8_pallas_fused_head_logits_only_images_per_sec": round(
                 pallas_serve_ips, 1
             ),
             "int8_infer_ms_per_image": round(1000.0 / infer_ips, 5),
@@ -276,8 +353,13 @@ def main() -> None:
             "infer_reps_per_dispatch": infer_reps,
             "train_matmul_precision": "bf16 inputs on MXU (JAX default)",
             "timing": "device→host readback-forced, dependency-chained "
-                      "(axon block_until_ready returns early); infer reps "
-                      "chained via data-dependent input index",
+                      "(axon block_until_ready returns early); XLA infer "
+                      "reps chained via data-dependent input index; Pallas "
+                      "reps chained via a kernel scalar operand (the "
+                      "buffer-gather chain materializes a full input copy "
+                      "per rep on Pallas consumers — measured +0.30 "
+                      "ms/batch harness artifact, "
+                      "scripts/profile_mega_bisect.py)",
             "peak_bf16_flops_assumed": peak,
             "device": str(jax.devices()[0]),
             "baseline": "reference torch on this host, BASELINE_MEASURED.md",

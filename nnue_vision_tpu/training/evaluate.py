@@ -70,6 +70,16 @@ def evaluate_model(
         n_batches += 1
         outs.append(np.asarray(logits))
         targets.append(labels)
+    if not outs:
+        # A drop_last train loader with fewer samples than one batch
+        # yields nothing; fail with a diagnosis instead of a bare
+        # numpy concatenate error deep in the epoch loop.
+        raise ValueError(
+            f"evaluation loader produced 0 batches (dataset of "
+            f"{len(loader.dataset.labels)} samples, batch_size "
+            f"{loader.batch_size}, drop_last={loader.drop_last}) — "
+            "reduce batch_size or raise max_samples/subset"
+        )
     outputs = np.concatenate(outs)
     metrics = compute_metrics(outputs, np.concatenate(targets))
     return total_loss / max(1, n_batches), metrics
@@ -93,9 +103,10 @@ def evaluate_int8_sim(
 
     Produces the same logits the C++ engine would (proven by
     tests/test_engine_parity.py), so accuracy/F1 equal the subprocess
-    path's; ms_per_sample here measures the TPU batch path. use_pallas
-    routes NNUE through the fused Pallas head (same bits, faster — see
-    ops/pallas_kernels.py); EtinyNet has no Pallas variant.
+    path's; ms_per_sample here measures the TPU batch path. use_pallas=True
+    routes NNUE through the fused Pallas head; use_pallas="mega" routes
+    through the single-kernel megafused pipeline (same bits, fastest —
+    see ops/pallas_kernels.py). EtinyNet has no Pallas variant.
     """
     q = _quantize(params, batch_stats, model_type, model_cfg)
     outs, targets, densities = [], [], []
@@ -103,7 +114,40 @@ def evaluate_int8_sim(
     n = 0
     if model_type == "nnue":
         sim_params, cfg = nnue_sim_params(q)
-        if use_pallas:
+        if use_pallas == "mega":
+            # single-kernel pipeline (image → logits); bf16-exactness
+            # precondition |qx| ≤ 256 is checked per batch below and the
+            # batch falls back to the XLA sim if violated
+            import jax as _jax
+
+            from nnue_vision_tpu.ops.pallas_kernels import (
+                mega_head_params,
+                nnue_engine_forward_mega,
+            )
+
+            _interp = _jax.devices()[0].platform == "cpu"
+            _mega_heads = {}
+
+            def fwd(x, h, w, cm):
+                if cm != "bf16":  # precondition failed → exact XLA path
+                    return nnue_engine_forward(
+                        sim_params, x, cfg=cfg, image_h=h, image_w=w,
+                        conv_mode="f32",
+                    )
+                if (h, w) not in _mega_heads:
+                    _mega_heads[(h, w)] = mega_head_params(
+                        sim_params, cfg, h, w
+                    )
+                import jax.numpy as _jnp
+
+                flat = _jnp.asarray(
+                    np.ascontiguousarray(x).reshape(x.shape[0], -1)
+                )
+                return nnue_engine_forward_mega(
+                    _mega_heads[(h, w)], flat, cfg=cfg, image_h=h,
+                    image_w=w, interpret=_interp,
+                )
+        elif use_pallas:
             from nnue_vision_tpu.ops.pallas_kernels import (
                 nnue_engine_forward_fused,
                 pallas_head_params,

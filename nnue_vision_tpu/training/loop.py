@@ -478,8 +478,12 @@ def train_model(
                 compiled_metrics = evaluate_int8_sim(
                     state.params, state.batch_stats, val_loader,
                     model_type=model_type, model_cfg=cfg_for(epoch),
-                    use_pallas=(compiled_backend == "pallas"
-                                and model_type == "nnue"),
+                    use_pallas=(
+                        "mega" if (compiled_backend == "mega"
+                                   and model_type == "nnue")
+                        else (compiled_backend == "pallas"
+                              and model_type == "nnue")
+                    ),
                 )
 
             log_data = {

@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Harvest accuracy results from logs/runs into markdown tables.
+
+Groups runs by config name (incl. --name_suffix labels), reports final
+and best val/compiled accuracy per run, and aggregates the variance-study
+groups (varA/varB × seeds) into mean ± spread. Prints markdown to stdout;
+PARITY.md cites the output.
+
+Usage: python scripts/harvest_accuracy.py [--since run_20260817_090000]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from collections import defaultdict
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def load_runs(since: str | None):
+    runs = []
+    for d in sorted((REPO / "logs" / "runs").glob("run_*")):
+        if since and d.name < since:
+            continue
+        cfg_path = d / "config.json"
+        met_path = d / "metrics.jsonl"
+        if not cfg_path.exists() or not met_path.exists():
+            continue
+        cfg = json.loads(cfg_path.read_text())
+        epochs = []
+        for line in met_path.open():
+            row = json.loads(line)
+            if "val/accuracy" in row:
+                epochs.append(row)
+        if not epochs:
+            continue
+        runs.append({
+            "dir": d.name,
+            "name": cfg.get("name", "?"),
+            "seed": cfg.get("seed"),
+            "class_seed": cfg.get("synthetic_class_seed"),
+            "epochs": len(epochs),
+            "final_val": epochs[-1].get("val/accuracy"),
+            "final_compiled": epochs[-1].get("compiled/accuracy"),
+            "best_val": max(e.get("val/accuracy", 0) for e in epochs),
+            "best_compiled": max(
+                (e.get("compiled/accuracy", 0) for e in epochs), default=0
+            ),
+            "curve_compiled": [e.get("compiled/accuracy") for e in epochs],
+        })
+    return runs
+
+
+def main() -> int:
+    since = None
+    if "--since" in sys.argv:
+        since = sys.argv[sys.argv.index("--since") + 1]
+    runs = load_runs(since)
+
+    print("## Per-run results\n")
+    print("| run | config | seed | variant | epochs | final val | "
+          "final compiled | best val | best compiled |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    for r in runs:
+        variant = "B" if r["class_seed"] else "A"
+        fc = r["final_compiled"]
+        print(
+            f"| {r['dir']} | {r['name']} | {r['seed']} | {variant} | "
+            f"{r['epochs']} | {r['final_val']:.4f} | "
+            f"{fc if fc is None else f'{fc:.4f}'} | {r['best_val']:.4f} | "
+            f"{r['best_compiled']:.4f} |"
+        )
+
+    # variance groups: name like <cfg>_var{A,B}_s{seed}
+    groups = defaultdict(list)
+    for r in runs:
+        if "_var" in r["name"]:
+            base = r["name"].split("_var")[0]
+            groups[base].append(r)
+    if groups:
+        print("\n## Variance study (mean ± spread over seeds × generator "
+              "variants, equal budget)\n")
+        print("| config | n runs | final compiled mean | ± spread (max-min) "
+              "| best compiled mean | ± spread |")
+        print("|---|---|---|---|---|---|")
+        for base, rs in sorted(groups.items()):
+            fc = [r["final_compiled"] for r in rs if r["final_compiled"]]
+            bc = [r["best_compiled"] for r in rs if r["best_compiled"]]
+            if not fc:
+                continue
+            mean = sum(fc) / len(fc)
+            spread = max(fc) - min(fc)
+            bmean = sum(bc) / len(bc)
+            bspread = max(bc) - min(bc)
+            print(
+                f"| {base} | {len(fc)} | {mean:.4f} | ±{spread / 2:.4f} | "
+                f"{bmean:.4f} | ±{bspread / 2:.4f} |"
+            )
+
+    # plateau check for extended runs: last-50-epoch trend
+    for r in runs:
+        if r["epochs"] >= 200:
+            c = [x for x in r["curve_compiled"] if x is not None]
+            half = len(c) // 2
+            import statistics
+
+            a, b = statistics.mean(c[half:half + len(c) // 4]), \
+                statistics.mean(c[-len(c) // 4:])
+            print(
+                f"\nplateau check {r['name']} ({r['dir']}): "
+                f"3rd-quarter mean {a:.4f} vs last-quarter mean {b:.4f} "
+                f"(delta {b - a:+.4f})"
+            )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -41,6 +41,10 @@ from nnue_vision_tpu.ops.pallas_kernels import (  # noqa: E402
 
 
 def chained_ms(fwd, data, reps=400):
+    """Buffer-gather chaining (bench.py's original method). For Pallas
+    consumers the dynamic slice cannot fuse into the kernel operand, so
+    this method pays a full HBM copy of the input per rep — use
+    scalar_chained_ms for Pallas paths."""
     n_buf = data.shape[0]
 
     @jax.jit
@@ -64,6 +68,36 @@ def chained_ms(fwd, data, reps=400):
     return best / reps * 1000.0
 
 
+def scalar_chained_ms(fwd_with_bump, data_one, reps=400):
+    """Serialize reps through a SCALAR data dependency instead of a
+    buffer gather: `fwd_with_bump(x, bump)` must thread `bump` (runtime
+    0.0) into its computation (e.g. threshold + bump). Each rep re-reads
+    the full input from HBM (Pallas operands always stream from HBM) and
+    cannot overlap or CSE with its neighbors (the bump depends on the
+    previous rep's output; float x·0 is not constant-foldable under NaN
+    semantics). This measures the kernel itself, without the
+    harness-side 100MB copy the buffer-gather method pays on Pallas
+    consumers."""
+
+    @jax.jit
+    def run(d):
+        def body(carry, _):
+            out = fwd_with_bump(d, carry * 0.0)
+            lead = out.reshape(-1)[0].astype(jnp.float32)
+            return lead, lead
+
+        _, outs = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
+        return outs[-1]
+
+    np.asarray(run(data_one))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(run(data_one))
+        best = min(best, time.perf_counter() - t0)
+    return best / reps * 1000.0
+
+
 def make_stage_call(head, cfg, level, tile_b=512):
     """Pallas call truncated after `level` stages (0..3)."""
     l1 = cfg.l1
@@ -76,20 +110,23 @@ def make_stage_call(head, cfg, level, tile_b=512):
                      keepdims=True) if n_pad else jnp.zeros((1, l1),
                                                             jnp.float32)
 
-    def kernel(img_ref, wfull_ref, cbias_ref, thresh_ref, padsum_ref,
-               ft_w_ref, ft_b_ref, out_ref):
+    def kernel(bump_ref, img_ref, wfull_ref, cbias_ref, thresh_ref,
+               padsum_ref, ft_w_ref, ft_b_ref, out_ref):
+        # bump is 0.0 at runtime; adding it to the output creates the
+        # inter-rep data dependency the scalar-chained timing needs.
+        bump = bump_ref[0, 0]
         x = img_ref[:]
         if level == 0:
-            out_ref[:] = x[:, :128]
+            out_ref[:] = x[:, :128] + bump
             return
         qx = jnp.trunc(x * np.float32(cfg.conv_scale)).astype(jnp.bfloat16)
         if level == 1:
-            out_ref[:] = qx[:, :128].astype(jnp.float32)
+            out_ref[:] = qx[:, :128].astype(jnp.float32) + bump
             return
         acc = jnp.dot(qx, wfull_ref[:], preferred_element_type=jnp.float32)
         acc = acc + cbias_ref[:]
         if level == 2:
-            out_ref[:] = acc[:, :128]
+            out_ref[:] = acc[:, :128] + bump
             return
         xx = jnp.clip(jnp.trunc(acc * (1.0 / cfg.conv_scale)), -127.0, 127.0)
         thr = thresh_ref[0, 0]
@@ -100,18 +137,19 @@ def make_stage_call(head, cfg, level, tile_b=512):
         ft = ft + ft_b_ref[:] + pad_active * padsum_ref[:]
         ft = _wrap_i16_i32(ft.astype(jnp.int32))
         ft = jnp.clip(ft, 0, cfg.quantized_one).astype(jnp.float32)
-        out_ref[:] = ft[:, :128]
+        out_ref[:] = ft[:, :128] + bump
 
     full = lambda *_: (0, 0)  # noqa: E731
 
     @jax.jit
-    def call(images_flat):
+    def call(images_flat, bump):
         b = images_flat.shape[0]
         n_tiles = b // tile_b
         return pl.pallas_call(
             kernel,
             grid=(n_tiles,),
             in_specs=[
+                pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
                 pl.BlockSpec((tile_b, hw3), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((hw3, fr), full, memory_space=pltpu.VMEM),
@@ -128,8 +166,8 @@ def make_stage_call(head, cfg, level, tile_b=512):
                 dimension_semantics=("parallel",),
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
-        )(images_flat, head["conv_wfull"], head["conv_bias_row"],
-          head["thresh"], padsum, ft_w, head["ft_b"])
+        )(bump.reshape(1, 1), images_flat, head["conv_wfull"],
+          head["conv_bias_row"], head["thresh"], padsum, ft_w, head["ft_b"])
 
     return call
 
@@ -156,18 +194,28 @@ def main() -> int:
     )
 
     out = {"batch": batch}
+    data_one = data[0]
     for level, name in enumerate(["v0_dma", "v1_quant", "v2_conv", "v3_ft"]):
         call = make_stage_call(head, cfg, level)
-        ms = chained_ms(call, data)
+        ms = scalar_chained_ms(call, data_one)
         out[name + "_ms"] = round(ms, 4)
         print(json.dumps({name: out[name + "_ms"]}), flush=True)
 
-    ms = chained_ms(
+    def mega_bump(x, bump):
+        h2 = dict(head)
+        h2["thresh"] = head["thresh"] + bump
+        return nnue_engine_forward_mega(
+            h2, x, cfg=cfg, image_h=32, image_w=32, with_count=False)[0]
+
+    out["v4_full_ms"] = round(scalar_chained_ms(mega_bump, data_one), 4)
+    # the old buffer-gather timing, for the harness-copy delta record
+    out["v4_full_buffergather_ms"] = round(chained_ms(
         lambda x: nnue_engine_forward_mega(
             head, x, cfg=cfg, image_h=32, image_w=32, with_count=False)[0],
         data,
-    )
-    out["v4_full_ms"] = round(ms, 4)
+    ), 4)
+    for k in ("v0_dma", "v1_quant", "v2_conv", "v3_ft", "v4_full"):
+        out[k + "_images_per_sec"] = round(batch / (out[k + "_ms"] / 1e3))
     print(json.dumps(out))
     return 0
 

@@ -113,3 +113,17 @@ def test_int8_sim_pallas_backend_matches_xla(model_and_data, monkeypatch):
                           model_cfg=CFG, use_pallas=True)
     assert a["f1"] == b["f1"] and a["acc"] == b["acc"]
     assert a["latent_density"] == b["latent_density"]
+
+
+def test_int8_sim_mega_backend_matches_xla(model_and_data):
+    """use_pallas="mega" routes through the single-kernel megafused
+    pipeline (flat-input conv-as-matmul) and must return identical
+    metrics to the XLA sim. Interpret mode is selected automatically on
+    CPU inside the mega branch."""
+    params, loader = model_and_data
+    a = evaluate_int8_sim(params, None, loader, model_type="nnue",
+                          model_cfg=CFG)
+    b = evaluate_int8_sim(params, None, loader, model_type="nnue",
+                          model_cfg=CFG, use_pallas="mega")
+    assert a["f1"] == b["f1"] and a["acc"] == b["acc"]
+    assert a["latent_density"] == b["latent_density"]
