@@ -159,11 +159,12 @@ def _head_kernel(acc_ref, *refs, **kw):
 
 
 def _mega_kernel(
-    img_ref,       # (TILE_B, H·W·3) f32 — raw normalized image, flat HWC
+    img_ref,       # (TILE_B, H·W·3) f32 raw image — or bf16 pre-quantized
     wfull_ref,     # (H·W·3, FR) bf16 — conv lifted to a dense matrix
     cbias_ref,     # (1, FR) f32 — conv bias broadcast per feature
     *refs,
     in_scale: float,
+    prequantized: bool = False,
     **kw,
 ):
     """Whole-pipeline kernel: input quantization + conv-as-matmul + head.
@@ -181,7 +182,12 @@ def _mega_kernel(
     the bf16 cast and MXU f32 accumulation are exact, matching
     `_quantize_input` + `_int_conv3x3` bit for bit.
     """
-    qx = jnp.trunc(img_ref[:] * np.float32(in_scale)).astype(jnp.bfloat16)
+    if prequantized:
+        # input is already trunc(x·scale) as integer-valued bf16 (half
+        # the HBM read of the f32 path — the pipeline is input-BW-bound)
+        qx = img_ref[:]
+    else:
+        qx = jnp.trunc(img_ref[:] * np.float32(in_scale)).astype(jnp.bfloat16)
     acc = jnp.dot(qx, wfull_ref[:], preferred_element_type=jnp.float32)
     _head_body(acc + cbias_ref[:], *refs, **kw)
 
@@ -401,9 +407,25 @@ def mega_head_params(
     return params
 
 
+def quantize_images_for_mega(images_flat: np.ndarray, cfg) -> np.ndarray:
+    """Host-side pre-quantization for `input_mode="qbf16"` serving:
+    trunc(x·conv_scale) as integer-valued bfloat16 — bit-identical input
+    to the kernel's own quantize (|qx| ≤ 256 precondition applies), at
+    half the HBM read. numpy in/out (ml_dtypes bfloat16)."""
+    import ml_dtypes
+
+    q = np.trunc(np.asarray(images_flat, np.float32) * np.float32(cfg.conv_scale))
+    if np.max(np.abs(q)) > _BF16_EXACT:
+        raise ValueError(
+            "pre-quantized inputs exceed the bf16 exact-integer window "
+            "(|qx| > 256) — use the f32 input mode"
+        )
+    return q.astype(ml_dtypes.bfloat16)
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "image_h", "image_w", "interpret",
-                              "tile_b", "with_count")
+                              "tile_b", "with_count", "input_mode")
 )
 def nnue_engine_forward_mega(
     head_params: Dict,
@@ -415,6 +437,7 @@ def nnue_engine_forward_mega(
     tile_b: int = 512,
     interpret: bool = False,
     with_count: bool = True,
+    input_mode: str = "f32",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Single-kernel bit-exact NNUE int8 inference: image in, logits out.
 
@@ -429,6 +452,11 @@ def nnue_engine_forward_mega(
     Precondition (asserted by callers on host data via
     `conv_inputs_bf16_safe`): every |trunc(x·conv_scale)| ≤ 256, which
     production-normalized images satisfy with ~30% margin.
+
+    input_mode="qbf16": `images_flat` is ALREADY trunc(x·scale) as
+    integer-valued bf16 (see `quantize_images_for_mega`) — same bits out,
+    half the input HBM traffic (the binding resource: the f32 pipeline is
+    ~73% input DMA, scripts/profile_mega_bisect.py).
     """
     b = images_flat.shape[0]
     params = head_params
@@ -459,9 +487,12 @@ def nnue_engine_forward_mega(
         images_flat = jnp.pad(images_flat, ((0, pad_b), (0, 0)))
     bp = images_flat.shape[0]
 
+    if input_mode not in ("f32", "qbf16"):
+        raise ValueError(f"unknown input_mode {input_mode!r}")
     kernel = functools.partial(
         _mega_kernel,
         in_scale=float(conv_scale),
+        prequantized=(input_mode == "qbf16"),
         l1=l1,
         qone=cfg.quantized_one,
         s1=cfg.fc1_scale,

@@ -146,20 +146,52 @@ def main() -> int:
             t0 = time.perf_counter()
             for c in chunks:
                 st, out = run(st, key, c)
-            # readback forces the chained dependency through `st`
-            leaf = jax.tree_util.tree_leaves(st)[0]
-            np.asarray(leaf).reshape(-1)[:1]
+            # per-step outputs chain through the scan carry: out[-1] of
+            # the LAST dispatch depends on every prior step. Read back the
+            # small (K,) output, not a param leaf — a multi-MB d2h on the
+            # tunneled backend would dwarf the measured region.
+            np.asarray(out)
             best = min(best, time.perf_counter() - t0)
         return best / (reps * spd) * 1000.0  # ms per step
 
     out = {"batch": batch, "steps_per_dispatch": spd}
 
+    # the production dispatch itself (bench.py's measured unit), for
+    # harness cross-validation: stage sums must reconcile with this
+    from nnue_vision_tpu.training.step import scanned_train_steps
+
+    @jax.jit
+    def full_prod(state, key, idx_chunk):
+        key, sub = jax.random.split(key)
+        state, metrics = scanned_train_steps(
+            state, device_images, device_labels, idx_chunk, sub,
+            model_type="nnue", model_cfg=cfg, optimizer=optimizer,
+            strength="light", augment=True,
+        )
+        return state, metrics["loss"]
+
+    # forward with params passed as a scan-carry argument rather than a
+    # trace-time closure constant (closure-constant handling is a known
+    # XLA layout/copy hazard)
+    def forward_arg_body(carry, idx, k):
+        p, acc = carry
+        images = jnp.take(device_images, idx, axis=0)
+        labels = jnp.take(device_labels, idx, axis=0)
+        x = preprocess_batch(k, images, strength="light", augment=True)
+        logits = nnue_apply(p, x, cfg)
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels).mean()
+        return (p, acc + loss), loss
+
     stages = [
         ("gather", scan_of(gather_body), jnp.float32(0.0)),
         ("augment", scan_of(augment_body), jnp.float32(0.0)),
         ("forward", scan_of(forward_body), jnp.float32(0.0)),
+        ("forward_arg", scan_of(forward_arg_body),
+         (params, jnp.float32(0.0))),
         ("grad", scan_of(grad_body), jnp.float32(0.0)),
         ("full", scan_of(full_body), make_train_state(params, optimizer)),
+        ("full_prod", full_prod, make_train_state(params, optimizer)),
     ]
     for name, run, init in stages:
         ms = timed(run, init)

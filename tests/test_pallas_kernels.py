@@ -73,6 +73,31 @@ def test_mega_forward_matches_engine_sim(rng, grid, ch, h, thresh):
     )
 
 
+def test_mega_qbf16_input_mode_matches_f32(rng):
+    """input_mode="qbf16" (host pre-quantized bf16 images, half the HBM
+    read) must produce identical bits to the f32 input mode."""
+    from nnue_vision_tpu.ops.pallas_kernels import quantize_images_for_mega
+
+    q = random_quantized_nnue(rng, grid=4, ch=6, l1=16, l2=8, l3=4,
+                              num_classes=3)
+    params, cfg = nnue_sim_params(q)
+    head = mega_head_params(params, cfg, 12, 12)
+    imgs = (rng.random((4, 12, 12, 3), dtype=np.float32) * 2 - 0.5).astype(
+        np.float32
+    ).reshape(4, -1)
+    ref, _, ref_count = nnue_engine_forward_mega(
+        head, jnp.asarray(imgs), cfg=cfg, image_h=12, image_w=12,
+        tile_b=8, interpret=True
+    )
+    qimgs = quantize_images_for_mega(imgs, cfg)
+    out, _, count = nnue_engine_forward_mega(
+        head, jnp.asarray(qimgs), cfg=cfg, image_h=12, image_w=12,
+        tile_b=8, interpret=True, input_mode="qbf16"
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(count), np.asarray(ref_count))
+
+
 def test_fused_forward_negative_threshold_activates_padding(rng):
     """grid² · ch exceeds the conv output here, so the trailing features are
     the constant 0; with a negative threshold the engine counts them active
