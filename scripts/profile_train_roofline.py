@@ -77,33 +77,41 @@ def main() -> int:
     device_labels = jnp.asarray(rng.integers(0, 10, n_data).astype(np.int64))
 
     def scan_of(body):
+        # device_images/labels enter as ARGUMENTS, not closure constants:
+        # jit-closure jnp arrays are embedded as program constants, and on
+        # this backend that costs ~1 ms/step extra (measured — see
+        # closure_penalty_ms in the output)
         @jax.jit
-        def run(state, key, idx_chunk):
+        def run_args(imgs, lbls, state, key, idx_chunk):
             keys = jax.random.split(key, idx_chunk.shape[0])
 
             def step(carry, inp):
                 idx, k = inp
-                return body(carry, idx, k)
+                return body(carry, idx, k, imgs, lbls)
 
             return jax.lax.scan(step, state, (idx_chunk, keys))
 
+        def run(state, key, idx_chunk):
+            return run_args(device_images, device_labels, state, key,
+                            idx_chunk)
+
         return run
 
-    def gather_body(carry, idx, k):
-        images = jnp.take(device_images, idx, axis=0)
-        labels = jnp.take(device_labels, idx, axis=0)
+    def gather_body(carry, idx, k, imgs, lbls):
+        images = jnp.take(imgs, idx, axis=0)
+        labels = jnp.take(lbls, idx, axis=0)
         s = carry + images.sum() + labels.sum()
         return s, s
 
-    def augment_body(carry, idx, k):
-        images = jnp.take(device_images, idx, axis=0)
+    def augment_body(carry, idx, k, imgs, lbls):
+        images = jnp.take(imgs, idx, axis=0)
         x = preprocess_batch(k, images, strength="light", augment=True)
         s = carry + x.sum()
         return s, s
 
-    def forward_body(carry, idx, k):
-        images = jnp.take(device_images, idx, axis=0)
-        labels = jnp.take(device_labels, idx, axis=0)
+    def forward_body(carry, idx, k, imgs, lbls):
+        images = jnp.take(imgs, idx, axis=0)
+        labels = jnp.take(lbls, idx, axis=0)
         x = preprocess_batch(k, images, strength="light", augment=True)
         logits = nnue_apply(params, x, cfg)
         loss = optax.softmax_cross_entropy_with_integer_labels(
@@ -115,17 +123,17 @@ def main() -> int:
         return optax.softmax_cross_entropy_with_integer_labels(
             logits, labels).mean()
 
-    def grad_body(carry, idx, k):
-        images = jnp.take(device_images, idx, axis=0)
-        labels = jnp.take(device_labels, idx, axis=0)
+    def grad_body(carry, idx, k, imgs, lbls):
+        images = jnp.take(imgs, idx, axis=0)
+        labels = jnp.take(lbls, idx, axis=0)
         x = preprocess_batch(k, images, strength="light", augment=True)
         loss, grads = jax.value_and_grad(loss_fn)(params, x, labels)
         gsum = sum(g.sum() for g in jax.tree_util.tree_leaves(grads))
         return carry + loss + gsum * 0, loss
 
-    def full_body(state, idx, k):
-        images = jnp.take(device_images, idx, axis=0)
-        labels = jnp.take(device_labels, idx, axis=0)
+    def full_body(state, idx, k, imgs, lbls):
+        images = jnp.take(imgs, idx, axis=0)
+        labels = jnp.take(lbls, idx, axis=0)
         x = preprocess_batch(k, images, strength="light", augment=True)
         state, metrics = train_step(
             state, x, labels, model_type="nnue", model_cfg=cfg,
@@ -160,8 +168,8 @@ def main() -> int:
     # harness cross-validation: stage sums must reconcile with this
     from nnue_vision_tpu.training.step import scanned_train_steps
 
-    @jax.jit
     def full_prod(state, key, idx_chunk):
+        # EXACT bench.py harness: no outer jit, buffers as arguments
         key, sub = jax.random.split(key)
         state, metrics = scanned_train_steps(
             state, device_images, device_labels, idx_chunk, sub,
@@ -173,18 +181,91 @@ def main() -> int:
     # forward with params passed as a scan-carry argument rather than a
     # trace-time closure constant (closure-constant handling is a known
     # XLA layout/copy hazard)
-    def forward_arg_body(carry, idx, k):
+    def forward_arg_body(carry, idx, k, imgs, lbls):
         p, acc = carry
-        images = jnp.take(device_images, idx, axis=0)
-        labels = jnp.take(device_labels, idx, axis=0)
+        images = jnp.take(imgs, idx, axis=0)
+        labels = jnp.take(lbls, idx, axis=0)
         x = preprocess_batch(k, images, strength="light", augment=True)
         logits = nnue_apply(p, x, cfg)
         loss = optax.softmax_cross_entropy_with_integer_labels(
             logits, labels).mean()
         return (p, acc + loss), loss
 
+    # Contiguous-slice variants: the random-row gather is per-row-DMA
+    # latency bound (measured 8.6× its bandwidth bound). Permuting the
+    # whole dataset ONCE per dispatch (amortized over K steps) and
+    # slicing batches contiguously reproduces exact epoch-shuffle
+    # semantics at sequential-DMA speed.
+    def scan_contig(use_full):
+        @jax.jit
+        def run_args(imgs, lbls, state, key):
+            # permutation + full-dataset gather ONCE per dispatch, inside
+            # the timed+jitted region (amortized over spd steps)
+            perm = jax.random.permutation(jax.random.fold_in(key, 7), n_data)
+            pimgs = jnp.take(imgs, perm, axis=0)
+            plbls = jnp.take(lbls, perm, axis=0)
+            keys = jax.random.split(key, spd)
+            starts = (jnp.arange(spd, dtype=jnp.int32) * batch) % (
+                n_data - batch + 1
+            )
+
+            def step(carry, inp):
+                s, k = inp
+                images = jax.lax.dynamic_slice_in_dim(pimgs, s, batch, axis=0)
+                labels = jax.lax.dynamic_slice_in_dim(plbls, s, batch, axis=0)
+                if use_full:
+                    st = carry
+                    x = preprocess_batch(k, images, strength="light",
+                                         augment=True)
+                    st, metrics = train_step(
+                        st, x, labels, model_type="nnue", model_cfg=cfg,
+                        optimizer=optimizer)
+                    return st, metrics["loss"]
+                acc = carry + images.sum() + labels.sum()
+                return acc, acc
+
+            return jax.lax.scan(step, state, (starts, keys))
+
+        def run(state, key, idx_chunk):
+            del idx_chunk  # contiguous variant draws its own epoch order
+            return run_args(device_images, device_labels, state, key)
+
+        return run
+
+    # empty scan body: the pure per-iteration floor of lax.scan on this
+    # backend (reads one idx element so the loop isn't DCE'd)
+    def empty_body(carry, idx, k, imgs, lbls):
+        s = carry + idx[0].astype(jnp.float32)
+        return s, s
+
+    # full step with scan unroll: replicates the body U× per loop
+    # iteration — if the floor is loop machinery, per-step cost drops
+    def scan_unroll(body, unroll):
+        @jax.jit
+        def run_args(imgs, lbls, state, key, idx_chunk):
+            keys = jax.random.split(key, idx_chunk.shape[0])
+
+            def step(carry, inp):
+                idx, k = inp
+                return body(carry, idx, k, imgs, lbls)
+
+            return jax.lax.scan(step, state, (idx_chunk, keys),
+                                unroll=unroll)
+
+        def run(state, key, idx_chunk):
+            return run_args(device_images, device_labels, state, key,
+                            idx_chunk)
+
+        return run
+
     stages = [
+        ("empty", scan_of(empty_body), jnp.float32(0.0)),
         ("gather", scan_of(gather_body), jnp.float32(0.0)),
+        ("gather_contig", scan_contig(False), jnp.float32(0.0)),
+        ("full_unroll4", scan_unroll(full_body, 4),
+         make_train_state(params, optimizer)),
+        ("full_unroll8", scan_unroll(full_body, 8),
+         make_train_state(params, optimizer)),
         ("augment", scan_of(augment_body), jnp.float32(0.0)),
         ("forward", scan_of(forward_body), jnp.float32(0.0)),
         ("forward_arg", scan_of(forward_arg_body),
@@ -192,6 +273,8 @@ def main() -> int:
         ("grad", scan_of(grad_body), jnp.float32(0.0)),
         ("full", scan_of(full_body), make_train_state(params, optimizer)),
         ("full_prod", full_prod, make_train_state(params, optimizer)),
+        ("full_contig", scan_contig(True),
+         make_train_state(params, optimizer)),
     ]
     for name, run, init in stages:
         ms = timed(run, init)
