@@ -279,7 +279,11 @@ def main() -> None:
 
         mega_head = mega_head_params(sim_params, sim_cfg, 32, 32)
 
-        def timed_mega(with_count):
+        def timed_scalar_chained(data, **mega_kwargs):
+            """Scalar-chained timing (see module docstring): reps
+            serialize through `thresh + prev_logit·0.0`; one harness for
+            every megafused variant."""
+
             @jax.jit
             def run(d):
                 def body(carry, _):
@@ -287,7 +291,7 @@ def main() -> None:
                     h2["thresh"] = mega_head["thresh"] + carry * 0.0
                     out = nnue_engine_forward_mega(
                         h2, d, cfg=sim_cfg, image_h=32, image_w=32,
-                        with_count=with_count,
+                        **mega_kwargs,
                     )[0]
                     lead = out.reshape(-1)[0]
                     return lead, lead
@@ -297,14 +301,17 @@ def main() -> None:
                 )
                 return outs[-1]
 
-            np.asarray(run(infer_flat[0]))  # compile + warm readback
+            np.asarray(run(data))  # compile + warm readback
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                np.asarray(run(infer_flat[0]))
+                np.asarray(run(data))
                 best = min(best, time.perf_counter() - t0)
             ms = best / infer_reps * 1000.0
             return infer_batch / (ms / 1000.0), ms
+
+        def timed_mega(with_count):
+            return timed_scalar_chained(infer_flat[0], with_count=with_count)
 
         # bit-exactness gate: the megafused kernel must reproduce the XLA
         # engine sim (itself bit-exact vs the C++ binaries) on this batch
@@ -344,30 +351,9 @@ def main() -> None:
         )[0]
         assert np.array_equal(np.asarray(qb_logits), np.asarray(mega_logits))
 
-        @jax.jit
-        def run_q(d):
-            def body(carry, _):
-                h2 = dict(mega_head)
-                h2["thresh"] = mega_head["thresh"] + carry * 0.0
-                out = nnue_engine_forward_mega(
-                    h2, d, cfg=sim_cfg, image_h=32, image_w=32,
-                    with_count=False, input_mode="qbf16",
-                )[0]
-                lead = out.reshape(-1)[0]
-                return lead, lead
-
-            _, outs = jax.lax.scan(
-                body, jnp.float32(0.0), None, length=infer_reps
-            )
-            return outs[-1]
-
-        np.asarray(run_q(qflat))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            np.asarray(run_q(qflat))
-            best = min(best, time.perf_counter() - t0)
-        mega_qbf16_ips = infer_batch / (best / infer_reps)
+        mega_qbf16_ips, _ = timed_scalar_chained(
+            qflat, with_count=False, input_mode="qbf16"
+        )
         assert mega_qbf16_ips * fwd_flops / peak < 1.0
     except Exception as e:
         print(f"# qbf16 input mode unavailable: {e}", flush=True)

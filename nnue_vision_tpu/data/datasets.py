@@ -205,8 +205,19 @@ def _load_cifar_from_disk(root: Path, name: str, train: bool):
             candidates.append(root / "cifar-10-python.tar.gz")
         for t in candidates:
             if t.exists():
-                with tarfile.open(t) as tf:
-                    tf.extractall(root)
+                try:
+                    with tarfile.open(t) as tf:
+                        tf.extractall(root)
+                except OSError:
+                    # NV_DATA_DIR may be a read-only mount holding only
+                    # the tarball (hand-carried data on air-gapped
+                    # hosts) — extract to a writable cache instead
+                    cache = Path.home() / ".cache" / "nnue_vision_tpu" / name
+                    cache.mkdir(parents=True, exist_ok=True)
+                    if not (cache / dirname).exists():
+                        with tarfile.open(t) as tf:
+                            tf.extractall(cache)
+                    base = cache / dirname
                 break
     if not base.exists():
         return None

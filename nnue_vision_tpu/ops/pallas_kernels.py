@@ -257,14 +257,11 @@ def pallas_head_params(sim_params: Dict) -> Dict:
     }
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "fr", "n_pad", "conv_scale", "tile_b", "interpret",
-                     "with_count"),
-)
-def _fused_head_call(
+def _pipeline_call(
+    kernel_base,
+    lead_arrays,      # [acc] or [images_flat, wfull, cbias]; [0] is batched
+    lead_specs,       # BlockSpecs for lead_arrays (batched first)
     head_params: Dict,
-    acc: jnp.ndarray,  # (B, FR) f32, int-valued
     *,
     cfg: NNUESimCfg,
     fr: int,
@@ -272,9 +269,14 @@ def _fused_head_call(
     conv_scale: int,
     tile_b: int,
     interpret: bool,
-    with_count: bool = True,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    b = acc.shape[0]
+    with_count: bool,
+):
+    """Shared plumbing for both fused pipelines: pow2-scale guard,
+    padding-features constant, batch tiling/padding, the 10 head-weight
+    BlockSpecs, output spec/count handling, and the pallas_call itself.
+    `lead_specs` must be built with the clamped tile size from
+    `_clamp_tile` (the batched spec's block shape depends on it)."""
+    b = lead_arrays[0].shape[0]
     l1 = cfg.l1
 
     if conv_scale != 1 and (conv_scale <= 0 or conv_scale & (conv_scale - 1)):
@@ -293,24 +295,15 @@ def _fused_head_call(
     else:
         padsum = jnp.zeros((1, l1), jnp.float32)
 
-    tile_b = min(tile_b, max(8, b))
+    tile_b = _clamp_tile(tile_b, b)
     pad_b = (-b) % tile_b
+    lead = list(lead_arrays)
     if pad_b:
-        acc = jnp.pad(
-            acc, ((0, pad_b),) + ((0, 0),) * (acc.ndim - 1)
-        )
-    bp = acc.shape[0]
-
-    # NOTE: passing the conv output in its native 4-D NHWC layout and
-    # reshaping in-kernel was tried to skip the XLA-side relayout into a
-    # packed (B, FR) operand — Mosaic rejects the cross-lane register
-    # reshape (remote-compile 500), so the packed 2-D operand stays.
-    acc_spec = pl.BlockSpec(
-        (tile_b, fr), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
+        lead[0] = jnp.pad(lead[0], ((0, pad_b), (0, 0)))
+    bp = lead[0].shape[0]
 
     kernel = functools.partial(
-        _head_kernel,
+        kernel_base,
         l1=l1,
         qone=cfg.quantized_one,
         s1=cfg.fc1_scale,
@@ -341,7 +334,7 @@ def _fused_head_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            acc_spec,
+            *lead_specs,
             pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
             pl.BlockSpec((1, l1), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((fr, l1), full, memory_space=pltpu.VMEM),
@@ -356,16 +349,16 @@ def _fused_head_call(
         ],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
-        # default scoped-vmem budget is 16MB; the tile-1024 working set
-        # (acc tile + f32 FT intermediate + resident weights) slightly
-        # exceeds it. Batch tiles are independent → parallel semantics.
+        # default scoped-vmem budget is 16MB; the largest working set
+        # (image tile + resident conv matrix + f32 FT intermediate +
+        # weights) needs more. Batch tiles are independent → parallel.
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ) if not interpret else None,
         interpret=interpret,
     )(
-        acc,
+        *lead,
         head_params["thresh"],
         padsum,
         ft_w_real,
@@ -381,6 +374,43 @@ def _fused_head_call(
         logits, count = outs
         return logits[:b], count[:b, 0]
     return outs[0][:b], None
+
+
+def _clamp_tile(tile_b: int, b: int) -> int:
+    return min(tile_b, max(8, b))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "fr", "n_pad", "conv_scale", "tile_b", "interpret",
+                     "with_count"),
+)
+def _fused_head_call(
+    head_params: Dict,
+    acc: jnp.ndarray,  # (B, FR) f32, int-valued
+    *,
+    cfg: NNUESimCfg,
+    fr: int,
+    n_pad: int,
+    conv_scale: int,
+    tile_b: int,
+    interpret: bool,
+    with_count: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    # NOTE: passing the conv output in its native 4-D NHWC layout and
+    # reshaping in-kernel was tried to skip the XLA-side relayout into a
+    # packed (B, FR) operand — Mosaic rejects the cross-lane register
+    # reshape (remote-compile 500); the megafused path removes the
+    # relayout differently (conv-as-matmul from the flat image).
+    tb = _clamp_tile(tile_b, acc.shape[0])
+    return _pipeline_call(
+        _head_kernel,
+        [acc],
+        [pl.BlockSpec((tb, fr), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        head_params,
+        cfg=cfg, fr=fr, n_pad=n_pad, conv_scale=conv_scale, tile_b=tile_b,
+        interpret=interpret, with_count=with_count,
+    )
 
 
 def mega_head_params(
@@ -465,106 +495,34 @@ def nnue_engine_forward_mega(
     n_pad = num_features - fr
     if n_pad < 0:
         raise ValueError("conv output exceeds feature grid — invalid config")
-    conv_scale = cfg.conv_scale
-    if conv_scale <= 0 or conv_scale & (conv_scale - 1):
-        raise ValueError(
-            f"conv scale {conv_scale} is not a power of two; the fused "
-            "kernel's in-VMEM truncating division requires pow2 scales"
-        )
-    l1 = cfg.l1
-    hw3 = images_flat.shape[1]
-
-    ft_w = params["ft_w"]
-    ft_w_real = ft_w[:fr]
-    if n_pad:
-        padsum = jnp.sum(ft_w[fr:].astype(jnp.float32), axis=0, keepdims=True)
-    else:
-        padsum = jnp.zeros((1, l1), jnp.float32)
-
-    tile_b = min(tile_b, max(8, b))
-    pad_b = (-b) % tile_b
-    if pad_b:
-        images_flat = jnp.pad(images_flat, ((0, pad_b), (0, 0)))
-    bp = images_flat.shape[0]
-
     if input_mode not in ("f32", "qbf16"):
         raise ValueError(f"unknown input_mode {input_mode!r}")
+    hw3 = images_flat.shape[1]
+
     kernel = functools.partial(
         _mega_kernel,
-        in_scale=float(conv_scale),
+        in_scale=float(cfg.conv_scale),
         prequantized=(input_mode == "qbf16"),
-        l1=l1,
-        qone=cfg.quantized_one,
-        s1=cfg.fc1_scale,
-        s2=cfg.fc2_scale,
-        out_scale=cfg.out_scale,
-        conv_scale=conv_scale,
-        n_pad=n_pad,
     )
-
-    n_tiles = bp // tile_b
-    full = lambda *_: (0, 0)  # noqa: E731 — whole-array blocks each step
-    out_specs = [
-        pl.BlockSpec((tile_b, cfg.num_classes), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    out_shape = [jax.ShapeDtypeStruct((bp, cfg.num_classes), jnp.float32)]
-    if with_count:
-        out_specs.append(
-            pl.BlockSpec((tile_b, 8), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM)
-        )
-        out_shape.append(jax.ShapeDtypeStruct((bp, 8), jnp.int32))
-    else:
-        kernel = functools.partial(kernel, count_ref=None)
-    outs = pl.pallas_call(
+    tb = _clamp_tile(tile_b, b)
+    full = lambda *_: (0, 0)  # noqa: E731
+    logits, count = _pipeline_call(
         kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((tile_b, hw3), lambda i: (i, 0),
+        [images_flat, params["conv_wfull"], params["conv_bias_row"]],
+        [
+            pl.BlockSpec((tb, hw3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((hw3, fr), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, fr), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, l1), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((fr, l1), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, l1), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((l1, cfg.l2), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cfg.l2), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((cfg.l2, cfg.l3), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cfg.l3), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((cfg.l3, cfg.num_classes), full,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cfg.num_classes), full, memory_space=pltpu.VMEM),
         ],
-        out_specs=tuple(out_specs),
-        out_shape=tuple(out_shape),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ) if not interpret else None,
-        interpret=interpret,
-    )(
-        images_flat,
-        params["conv_wfull"],
-        params["conv_bias_row"],
-        params["thresh"],
-        padsum,
-        ft_w_real,
-        params["ft_b"],
-        params["fc1_w"],
-        params["fc1_b"],
-        params["fc2_w"],
-        params["fc2_b"],
-        params["out_w"],
-        params["out_b"],
+        params,
+        cfg=cfg, fr=fr, n_pad=n_pad, conv_scale=cfg.conv_scale,
+        tile_b=tile_b, interpret=interpret, with_count=with_count,
     )
     if with_count:
-        logits, count = outs
-        count = count[:b, 0]
         density = count.astype(jnp.float32) / np.float32(num_features)
-        return logits[:b], density, count
-    return outs[0][:b], None, None
+        return logits, density, count
+    return logits, None, None
 
 
 def fused_nnue_head(

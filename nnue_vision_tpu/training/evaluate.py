@@ -138,11 +138,8 @@ def evaluate_int8_sim(
                     _mega_heads[(h, w)] = mega_head_params(
                         sim_params, cfg, h, w
                     )
-                import jax.numpy as _jnp
-
-                flat = _jnp.asarray(
-                    np.ascontiguousarray(x).reshape(x.shape[0], -1)
-                )
+                # x is already a device array; row-major flatten is free
+                flat = x.reshape(x.shape[0], -1)
                 return nnue_engine_forward_mega(
                     _mega_heads[(h, w)], flat, cfg=cfg, image_h=h,
                     image_w=w, interpret=_interp,

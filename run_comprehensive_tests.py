@@ -25,8 +25,17 @@ SUITES = [
     ("models", ["tests/test_model.py"]),
     ("engine sims", ["tests/test_engine_sim.py"]),
     ("engine parity", ["tests/test_engine_parity.py"]),
+    ("pallas kernels", ["tests/test_pallas_kernels.py"]),
+    ("evaluation", ["tests/test_evaluate.py"]),
     ("benchmarks", ["tests/test_benchmarks.py"]),
-    ("training", ["tests/test_training.py"]),
+    ("training", ["tests/test_training.py", "tests/test_scanned_steps.py"]),
+    ("progressive QAT", ["tests/test_progressive_qat.py",
+                         "tests/test_engine_friendly.py"]),
+    ("incremental serving", ["tests/test_incremental.py"]),
+    ("CLI tools", ["tests/test_cli_tools.py"]),
+    ("cloud", ["tests/test_cloud.py"]),
+    ("torch import", ["tests/test_torch_import.py"]),
+    ("engine fuzz", ["tests/test_engine_fuzz.py"]),
     ("parallel", ["tests/test_parallel.py"]),
     ("distributed", ["tests/test_distributed.py"]),
     ("checkpoint/orbax", ["tests/test_checkpoint_orbax.py"]),

@@ -11,12 +11,25 @@ Usage: python scripts/harvest_accuracy.py [--since run_20260817_090000]
 
 from __future__ import annotations
 
+import ast
 import json
 import sys
 from collections import defaultdict
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+
+
+def _unrepr(v):
+    """config.json values are written as repr() strings by the run
+    logger — recover the typed value ("'nnue_hard'" → 'nnue_hard',
+    "42" → 42, "None" → None)."""
+    if isinstance(v, str):
+        try:
+            return ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            return v
+    return v
 
 
 def load_runs(since: str | None):
@@ -28,7 +41,8 @@ def load_runs(since: str | None):
         met_path = d / "metrics.jsonl"
         if not cfg_path.exists() or not met_path.exists():
             continue
-        cfg = json.loads(cfg_path.read_text())
+        cfg = {k: _unrepr(v) for k, v in
+               json.loads(cfg_path.read_text()).items()}
         epochs = []
         for line in met_path.open():
             row = json.loads(line)
@@ -82,8 +96,8 @@ def main() -> int:
     if groups:
         print("\n## Variance study (mean ± spread over seeds × generator "
               "variants, equal budget)\n")
-        print("| config | n runs | final compiled mean | ± spread (max-min) "
-              "| best compiled mean | ± spread |")
+        print("| config | n runs | final compiled mean | spread (max−min) "
+              "| best compiled mean | spread (max−min) |")
         print("|---|---|---|---|---|---|")
         for base, rs in sorted(groups.items()):
             fc = [r["final_compiled"] for r in rs if r["final_compiled"]]
@@ -95,8 +109,8 @@ def main() -> int:
             bmean = sum(bc) / len(bc)
             bspread = max(bc) - min(bc)
             print(
-                f"| {base} | {len(fc)} | {mean:.4f} | ±{spread / 2:.4f} | "
-                f"{bmean:.4f} | ±{bspread / 2:.4f} |"
+                f"| {base} | {len(fc)} | {mean:.4f} | {spread:.4f} | "
+                f"{bmean:.4f} | {bspread:.4f} |"
             )
 
     # plateau check for extended runs: last-50-epoch trend

@@ -73,7 +73,38 @@ def test_mega_forward_matches_engine_sim(rng, grid, ch, h, thresh):
     )
 
 
-def test_mega_qbf16_input_mode_matches_f32(rng):
+@pytest.mark.parametrize("h,w,grid,ch", [
+    (12, 12, 4, 4),   # stride 3, exact fit
+    (16, 16, 4, 6),   # stride 5
+    (32, 32, 10, 8),  # flagship geometry
+    (20, 12, 4, 4),   # non-square image
+])
+def test_conv_as_matrix_equals_int_conv(rng, h, w, grid, ch):
+    """The lifted (H·W·3, FR) conv matrix must reproduce the engine's
+    strided 3×3 pad-1 conv accumulator exactly for any geometry —
+    pure-matmul check, no Pallas involved."""
+    import jax.numpy as jnp
+
+    from nnue_vision_tpu.ops.engine_sim import (
+        _int_conv3x3, _quantize_input, engine_conv_stride,
+    )
+    from nnue_vision_tpu.ops.pallas_kernels import conv_as_matrix
+
+    conv_w = rng.integers(-127, 128, (ch, 3, 3, 3)).astype(np.float32)
+    conv_b = rng.integers(-500, 500, (ch,)).astype(np.float32)
+    stride = engine_conv_stride(h, grid)
+    imgs = (rng.random((3, h, w, 3), dtype=np.float32) * 2 - 1).astype(
+        np.float32
+    )
+    qin = _quantize_input(jnp.asarray(imgs), 64.0)
+    acc = np.asarray(_int_conv3x3(
+        qin, jnp.asarray(conv_w, jnp.int32), jnp.asarray(conv_b, jnp.int32),
+        stride,
+    ))
+    wfull, bias_row = conv_as_matrix(conv_w, conv_b, h, w, stride)
+    qflat = np.asarray(qin, np.float32).reshape(3, -1)
+    lifted = qflat @ wfull + bias_row
+    np.testing.assert_array_equal(lifted, acc.reshape(3, -1).astype(np.float32))
     """input_mode="qbf16" (host pre-quantized bf16 images, half the HBM
     read) must produce identical bits to the f32 input mode."""
     from nnue_vision_tpu.ops.pallas_kernels import quantize_images_for_mega
