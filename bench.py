@@ -358,6 +358,36 @@ def main() -> None:
     except Exception as e:
         print(f"# qbf16 input mode unavailable: {e}", flush=True)
 
+    # EtinyNet int8 inference (micro variant — the reference's test/bench
+    # model; bit-exact engine arithmetic on the XLA path). Reported as an
+    # extra so the second model family has a standing TPU number too.
+    etiny_ips = 0.0
+    try:
+        from nnue_vision_tpu.models.etinynet import (
+            EtinyNetConfig,
+            etinynet_init,
+            etinynet_quantize,
+        )
+        from nnue_vision_tpu.ops.engine_sim import (
+            etiny_engine_forward,
+            etiny_sim_params,
+        )
+
+        e_cfg = EtinyNetConfig(variant="micro", num_classes=10, input_size=32)
+        e_params, e_stats = etinynet_init(jax.random.PRNGKey(2), e_cfg)
+        eq = etinynet_quantize(e_params, e_stats, e_cfg)
+        e_sim, e_simcfg = etiny_sim_params(eq)
+
+        def etiny_fwd(x):
+            return (etiny_engine_forward(
+                e_sim, x, cfg=e_simcfg, image_h=32, image_w=32,
+                conv_mode="bf16",
+            ),)
+
+        etiny_ips, _ = timed_infer(etiny_fwd)
+    except Exception as e:
+        print(f"# etiny bench unavailable: {e}", flush=True)
+
     print(json.dumps({
         "metric": "cifar10_nnue_train_images_per_sec_per_chip",
         "value": round(train_ips, 1),
@@ -379,6 +409,7 @@ def main() -> None:
             "int8_pallas_fused_head_logits_only_images_per_sec": round(
                 pallas_serve_ips, 1
             ),
+            "int8_etinynet_micro_images_per_sec": round(etiny_ips, 1),
             "int8_infer_ms_per_image": round(1000.0 / infer_ips, 5),
             "int8_vs_reference_engine_claim": round(
                 (1000.0 / infer_ips) / REF_INT8_MS_PER_IMAGE, 6
