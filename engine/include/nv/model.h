@@ -44,6 +44,19 @@ struct NnueNet {
   std::vector<int32_t> fc2_b;
   std::vector<int8_t> out_w;  // (num_classes, l3)
   std::vector<int32_t> out_b;
+  // chess-legacy single-score path (upstream LayerStack::forward,
+  // nnue_engine.cpp:382-478): the padded L1 row (row l2 of the on-disk
+  // (l2+1, l1) matrix) and the factorization block, stored faithfully —
+  // serializers write zeros / 127·I here, but the engine computes with
+  // whatever the file carries.
+  std::vector<int8_t> fc1_pad_w;   // (l1)
+  int32_t fc1_pad_b = 0;
+  std::vector<int8_t> fc2_full_w;  // (l3, 2·l2) — the on-disk L2 matrix
+                                   // (single-score path contracts the
+                                   // doubled width; zeros upstream)
+  float l1_fact_scale = 64.f;
+  std::vector<int8_t> l1_fact_w;   // (l1, l1) row-major
+  std::vector<int32_t> l1_fact_b;  // (l1)
 };
 
 // Loads a .nnue v2 stream; throws std::runtime_error on violations.
@@ -77,6 +90,19 @@ void nnue_update_accumulator(const NnueNet& net,
 // accumulator -> logits (applies the clipped ReLU internally).
 std::vector<float> nnue_head(const NnueNet& net,
                              const std::vector<int16_t>& acc);
+// Chess-legacy single-score head (upstream LayerStack::forward,
+// nnue_engine.cpp:382-478): combined L1 with the padded row, the
+// factorization skip term, squared-clipped pairwise, L2, single output
+// row; returns l3c + l1f_out + l1c_out. Bit-compatible with the
+// upstream binary on the same file (tests/test_upstream_interchange.py).
+// bias_lanes reproduces the upstream SIMD-dispatch bias-counting quirk:
+// 0 = auto (match the upstream build for this host's ISA: 8 AVX2 /
+// 4 NEON / 1 scalar), or explicit. See nnue.cpp for the full story.
+float nnue_head_single(const NnueNet& net, const std::vector<int16_t>& acc,
+                       int bias_lanes = 0);
+// evaluate()-equivalent for the single-score path (image → score).
+float nnue_evaluate_single(const NnueNet& net, const float* image, int h,
+                           int w, int bias_lanes = 0);
 
 // ------------------------------------------------------------------ EtinyNet
 

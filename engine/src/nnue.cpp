@@ -94,7 +94,7 @@ NnueNet load_nnue(std::istream& in) {
   net.fc1_scale = read_f32(in);
   net.fc2_scale = read_f32(in);
   net.out_scale = read_f32(in);
-  (void)read_f32(in);  // l1_fact scale, unused
+  net.l1_fact_scale = read_f32(in);
 
   const int l1_out = static_cast<int>(read_u32(in));
   const int l1_in = static_cast<int>(read_u32(in));
@@ -105,15 +105,16 @@ NnueNet load_nnue(std::istream& in) {
     read_linear(in, l1_out, l1_in, w, b, "L1");
     net.fc1_w.assign(w.begin(), w.begin() + size_t(net.l2) * net.l1);
     net.fc1_b.assign(b.begin(), b.begin() + net.l2);
+    // padded row l2: used only by the chess-legacy single-score path
+    net.fc1_pad_w.assign(w.begin() + size_t(net.l2) * net.l1, w.end());
+    net.fc1_pad_b = b[size_t(net.l2)];
   }
   {
     const uint32_t fo = read_u32(in), fi = read_u32(in);
     expect(static_cast<int>(fi) == net.l1 && static_cast<int>(fo) == net.l1,
            "factorization block dims");
-    in.seekg(static_cast<std::streamoff>(fo) * fi, std::ios::cur);
-    expect(read_u32(in) == fo, "factorization bias count");
-    in.seekg(static_cast<std::streamoff>(fo) * 4, std::ios::cur);
-    expect(in.good(), "truncated factorization block");
+    read_linear(in, static_cast<int>(fo), static_cast<int>(fi),
+                net.l1_fact_w, net.l1_fact_b, "factorization");
   }
   {
     const int l2_out = static_cast<int>(read_u32(in));
@@ -121,7 +122,9 @@ NnueNet load_nnue(std::istream& in) {
     expect(l2_out == net.l3 && l2_in == 2 * net.l2, "layer-stack L2 dims");
     std::vector<int8_t> w;
     read_linear(in, l2_out, l2_in, w, net.fc2_b, "L2");
-    // keep only the first l2 columns (second half is format padding)
+    // multiclass path uses only the first l2 columns (second half is
+    // format padding); the single-score path contracts the full width
+    net.fc2_full_w = w;
     net.fc2_w.resize(size_t(net.l3) * net.l2);
     for (int r = 0; r < net.l3; ++r) {
       std::memcpy(&net.fc2_w[size_t(r) * net.l2], &w[size_t(r) * l2_in],
@@ -262,6 +265,113 @@ std::vector<float> nnue_head(const NnueNet& net,
     logits[c] = static_cast<float>(a) / net.out_scale;
   }
   return logits;
+}
+
+float nnue_head_single(const NnueNet& net, const std::vector<int16_t>& acc,
+                       int bias_lanes) {
+  // Mirrors upstream LayerStack::forward (nnue_engine.cpp:382-478) value
+  // for value — INCLUDING an upstream quirk this path must reproduce to
+  // be bit-compatible with the upstream binary: its L1/L2 dense layers
+  // dispatch to simd::dense_forward_{avx2,neon}, which initialize the
+  // accumulator VECTOR with the bias in every lane and then horizontally
+  // sum, counting the bias 8× on AVX2 (simd_avx2.cpp:119-141 upstream),
+  // 4× on NEON (simd_neon.cpp:119-141), 1× in the scalar fallback. A
+  // single .nnue file therefore scores differently on different upstream
+  // builds. `bias_lanes` selects which build to match: 0 = auto (the
+  // upstream binary compiled on THIS host's ISA), 1/4/8 explicit. The
+  // factorization layer always uses the scalar path upstream (bias once,
+  // float-divide) and is mirrored so here.
+  if (bias_lanes == 0) {
+    const char* b = simd::backend();
+    bias_lanes = (b[0] == 'a') ? 8 : (b[0] == 'n') ? 4 : 1;
+  }
+  const int l1 = net.l1, l2 = net.l2, l3 = net.l3;
+  const int16_t qone = static_cast<int16_t>(net.quantized_one);
+
+  std::vector<int16_t> in(static_cast<size_t>(l1));
+  for (int i = 0; i < l1; ++i) {
+    in[i] = static_cast<int16_t>(clamp_i32(acc[i], 0, qone));
+  }
+
+  // dense layer with the upstream SIMD dispatch semantics: bias counted
+  // `bias_lanes`×; scalar build divides float-then-cast, SIMD builds
+  // divide in int32 (identical for pow2 scales; both truncate to zero)
+  const auto dense_row = [&](const int8_t* wrow, int32_t bias, int width,
+                             float scale) -> int32_t {
+    int32_t a = bias * bias_lanes +
+                simd::dot_i16_i8(in.data(), wrow, width);
+    return bias_lanes == 1
+               ? static_cast<int32_t>(static_cast<float>(a) / scale)
+               : a / static_cast<int32_t>(scale);
+  };
+
+  // combined L1: l2 real rows + the padded row (index l2)
+  std::vector<int8_t> l1o(static_cast<size_t>(l2) + 1);
+  const float s1 = net.fc1_scale;
+  for (int r = 0; r < l2; ++r) {
+    l1o[size_t(r)] = static_cast<int8_t>(clamp_i32(
+        dense_row(&net.fc1_w[size_t(r) * l1], net.fc1_b[r], l1, s1), 0,
+        127));
+  }
+  l1o[size_t(l2)] = static_cast<int8_t>(clamp_i32(
+      dense_row(net.fc1_pad_w.data(), net.fc1_pad_b, l1, s1), 0, 127));
+  const float l1c_out = static_cast<float>(l1o[size_t(l2)]) / s1;
+
+  // factorization skip term: only output row l2 reaches the score
+  // (upstream computes all l1 rows and reads [l2]; the others are dead)
+  float l1f_out = 0.f;
+  {
+    int32_t a = net.l1_fact_b[size_t(l2)] +
+                simd::dot_i16_i8(in.data(), &net.l1_fact_w[size_t(l2) * l1],
+                                 l1);
+    const int32_t c = clamp_i32(
+        static_cast<int32_t>(static_cast<float>(a) / net.l1_fact_scale), 0,
+        127);
+    l1f_out = static_cast<float>(c) / net.l1_fact_scale;
+  }
+
+  // squared-clipped pairwise expansion: [clamp((x²·127)/128), x]
+  std::vector<int16_t> expanded(static_cast<size_t>(l2) * 2);
+  for (int i = 0; i < l2; ++i) {
+    int32_t sq = static_cast<int32_t>(l1o[size_t(i)]) * l1o[size_t(i)];
+    sq = (sq * 127) / 128;
+    expanded[size_t(i)] = static_cast<int16_t>(clamp_i32(sq, 0, 127));
+    expanded[size_t(i) + l2] = static_cast<int16_t>(l1o[size_t(i)]);
+  }
+
+  // L2 over the doubled input — the on-disk (l3, 2·l2) matrix at full
+  // width (the single-score path honors the file; upstream zero-pads the
+  // second half). Same SIMD-dispatch bias/division semantics as L1.
+  std::vector<int8_t> l2o(static_cast<size_t>(l3));
+  const float s2 = net.fc2_scale;
+  for (int r = 0; r < l3; ++r) {
+    int32_t a = net.fc2_b[r] * bias_lanes +
+                simd::dot_i16_i8(expanded.data(),
+                                 &net.fc2_full_w[size_t(r) * (size_t(l2) * 2)],
+                                 l2 * 2);
+    const int32_t d =
+        bias_lanes == 1 ? static_cast<int32_t>(static_cast<float>(a) / s2)
+                        : a / static_cast<int32_t>(s2);
+    l2o[size_t(r)] = static_cast<int8_t>(clamp_i32(d, 0, 127));
+  }
+
+  // single output: row 0 of the output layer
+  int32_t oacc = net.out_b[0];
+  for (int j = 0; j < l3; ++j) {
+    oacc += static_cast<int32_t>(l2o[size_t(j)]) *
+            static_cast<int32_t>(net.out_w[size_t(j)]);
+  }
+  const float l3c = static_cast<float>(oacc) / net.out_scale;
+  return l3c + l1f_out + l1c_out;
+}
+
+float nnue_evaluate_single(const NnueNet& net, const float* image, int h,
+                           int w, int bias_lanes) {
+  std::vector<int> features;
+  nnue_extract_features(net, image, h, w, features);
+  std::vector<int16_t> acc;
+  nnue_refresh_accumulator(net, features, acc);
+  return nnue_head_single(net, acc, bias_lanes);
 }
 
 NnueResult nnue_evaluate(const NnueNet& net, const float* image, int h,

@@ -2,7 +2,14 @@
 // sets + incremental-update consistency, with machine-readable RESULT_*
 // lines (contract shared with the upstream harness).
 //
-// Usage: regression_test [model.nnue]
+// Usage: regression_test <model.nnue> [feature1 feature2 ...]
+//
+// When feature indices are given, also prints the upstream
+// regression_test's exact line set from the chess-legacy SINGLE-SCORE
+// path (RESULT_CHESS_INCREMENTAL_0 / _IMAGE_0 / _EMPTY / _SINGLE /
+// _REPEATED — same values as the upstream binary's RESULT_INCREMENTAL_0
+// etc. on the same model file and arguments; the CHESS_ prefix keeps
+// them distinct from this harness's own multiclass lines).
 
 #include <chrono>
 #include <cstdio>
@@ -26,6 +33,35 @@ int main(int argc, char** argv) {
   } else {
     std::fprintf(stderr, "Usage: %s <model.nnue>\n", argv[0]);
     return 1;
+  }
+
+  // Chess-legacy single-score parity block (upstream regression_test
+  // semantics, deterministic given argv — see header comment).
+  if (argc > 2) {
+    std::vector<int> test_features;
+    for (int i = 2; i < argc; ++i) {
+      const int f = std::atoi(argv[i]);
+      if (f >= 0 && f < net.num_features) test_features.push_back(f);
+    }
+    std::vector<int16_t> acc;
+    nv::nnue_refresh_accumulator(net, test_features, acc);
+    std::printf("RESULT_CHESS_INCREMENTAL_0: %.10f\n",
+                nv::nnue_head_single(net, acc));
+
+    const int image_size = net.grid * 12;  // upstream: grid_size * 12
+    std::vector<float> test_image(size_t(image_size) * image_size * 3, 0.1f);
+    std::printf("RESULT_CHESS_IMAGE_0: %.10f\n",
+                nv::nnue_evaluate_single(net, test_image.data(), image_size,
+                                         image_size));
+
+    nv::nnue_refresh_accumulator(net, {}, acc);
+    std::printf("RESULT_CHESS_EMPTY: %.10f\n", nv::nnue_head_single(net, acc));
+    nv::nnue_refresh_accumulator(net, {0}, acc);
+    std::printf("RESULT_CHESS_SINGLE: %.10f\n",
+                nv::nnue_head_single(net, acc));
+    nv::nnue_refresh_accumulator(net, {10, 20, 30, 40, 50}, acc);
+    std::printf("RESULT_CHESS_REPEATED: %.10f\n",
+                nv::nnue_head_single(net, acc));
   }
 
   std::mt19937 rng(123);

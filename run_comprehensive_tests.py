@@ -76,7 +76,7 @@ def build_reference_engine() -> bool:
         ["cmake", "-S", str(src), "-B", str(build),
          "-DCMAKE_BUILD_TYPE=Release"],
         ["cmake", "--build", str(build), "--parallel", "--target",
-         "nnue_inference", "etinynet_inference"],
+         "nnue_inference", "etinynet_inference", "regression_test"],
     ]
     for cmd in steps:
         if subprocess.run(cmd).returncode != 0:

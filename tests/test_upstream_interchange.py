@@ -83,3 +83,57 @@ def test_upstream_etiny_bit_exact(rng, tmp_path):
             np.float32,
         )
         np.testing.assert_array_equal(upstream, etiny_forward_np(q, img))
+
+
+def test_upstream_chess_single_score_bit_exact(rng, tmp_path):
+    """The chess-legacy single-score path (upstream LayerStack::forward,
+    nnue_engine.cpp:382-478) — our engine's nnue_head_single /
+    nnue_evaluate_single must reproduce the upstream regression_test
+    binary's RESULT values bit-exactly on the same model file and feature
+    arguments, INCLUDING the upstream SIMD-dispatch quirk that counts the
+    L1/L2 biases once per accumulator lane (8x on this AVX2 host;
+    simd_avx2.cpp:119-141 upstream). Requires the upstream regression_test
+    target in the reference build."""
+    ref_regression = REF_DIR / "regression_test"
+    if not ref_regression.exists():
+        r = subprocess.run(
+            ["cmake", "--build", str(REF_DIR), "--target", "regression_test"],
+            capture_output=True, text=True, timeout=300,
+        )
+        if not ref_regression.exists():
+            pytest.skip(f"cannot build upstream regression_test: {r.stderr[-500:]}")
+
+    from tests.conftest import random_quantized_nnue as _rq
+
+    q = _rq(rng, grid=10, ch=8, l1=64, l2=32, l3=8, num_classes=10)
+    model = tmp_path / "m.nnue"
+    write_nnue(q, model)
+    feats = ["3", "17", "42", "100", "700"]
+
+    up = subprocess.run(
+        [str(ref_regression), str(model)] + feats,
+        capture_output=True, text=True, timeout=60,
+    )
+    assert up.returncode == 0, up.stderr
+    ours = subprocess.run(
+        [str(Path("engine/build/regression_test").resolve()), str(model)]
+        + feats,
+        capture_output=True, text=True, timeout=60,
+    )
+    assert ours.returncode == 0, ours.stderr
+
+    def grab(out, prefix):
+        vals = {}
+        for line in out.splitlines():
+            if line.startswith(prefix):
+                k, v = line.split(":", 1)
+                vals[k[len(prefix):]] = v.strip()
+        return vals
+
+    u = grab(up.stdout, "RESULT_")
+    o = grab(ours.stdout, "RESULT_CHESS_")
+    for key in ("INCREMENTAL_0", "IMAGE_0", "EMPTY", "SINGLE", "REPEATED"):
+        assert key in u and key in o, (key, u, o)
+        assert u[key] == o[key], (
+            f"single-score mismatch {key}: upstream {u[key]} vs ours {o[key]}"
+        )
