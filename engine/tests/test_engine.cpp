@@ -169,6 +169,59 @@ void test_head_arithmetic_exact() {
   CHECK(logits[1] == 0.75f);
 }
 
+void test_single_score_path() {
+  // Chess-legacy single-score head on a hand-built net, checked against
+  // a hand computation at bias_lanes=1 (scalar-reference semantics):
+  //   acc [100,50,100,-20] → clipped in = [100,50,100,0]
+  //   L1 combined (scale 64, rows as below + pad row [1,-1,1,-1] b=32):
+  //     row0: b=64 + dot([1,1,1,1]) = 64+250 → int(314/64.f)=4
+  //     row1: b=0  + dot([-1,0,2,0]) = 100   → int(100/64.f)=1
+  //     pad:  b=32 + dot([1,-1,1,-1]) = 32+150 → int(182/64.f)=2
+  //   l1c_out = 2/64 = 0.03125
+  //   fact row l2(=2) = [0,0,127,0] b=0, scale 64:
+  //     int(12700/64.f)=198 → clamp 127 → l1f_out = 127/64 = 1.984375
+  //   expanded = [sq(4), sq(1), 4, 1]; sq(4)=(16·127)/128=15, sq(1)=0
+  //   L2 (full width 2·l2, scale 2):
+  //     row0 [10,20,7,-7] b=0 → (150+0+28-7)=171 → int(171/2.f)=85→clamp? 85≤127 ok
+  //     row1 [-5,3,0,0] b=100 → 100-75+0=25 → 12
+  //   out row0 [1,2] b=8 → 8+85+24=117 → /4 = 29.25
+  //   score = 29.25 + 1.984375 + 0.03125 = 31.265625
+  nv::NnueNet net;
+  net.l1 = 4; net.l2 = 2; net.l3 = 2;
+  net.num_classes = 2;
+  net.quantized_one = 127.f;
+  net.fc1_scale = 64.f; net.fc2_scale = 2.f; net.out_scale = 4.f;
+  net.l1_fact_scale = 64.f;
+  net.fc1_w = {1, 1, 1, 1, -1, 0, 2, 0};
+  net.fc1_b = {64, 0};
+  net.fc1_pad_w = {1, -1, 1, -1};
+  net.fc1_pad_b = 32;
+  net.l1_fact_w = {127, 0, 0, 0,  0, 127, 0, 0,  0, 0, 127, 0,  0, 0, 0, 127};
+  net.l1_fact_b = {0, 0, 0, 0};
+  net.fc2_full_w = {10, 20, 7, -7, -5, 3, 0, 0};
+  net.fc2_w = {10, 20, -5, 3};
+  net.fc2_b = {0, 100};
+  net.out_w = {1, 2, -1, 1};
+  net.out_b = {8, -8};
+  const std::vector<int16_t> acc = {100, 50, 100, -20};
+
+  const float s1 = nv::nnue_head_single(net, acc, /*bias_lanes=*/1);
+  CHECK(s1 == 31.265625f);
+
+  // the upstream AVX2 build counts the L1/L2 biases 8x — with nonzero
+  // biases the scores MUST differ (the quirk wiring is live), and the
+  // computation stays deterministic
+  const float s8 = nv::nnue_head_single(net, acc, /*bias_lanes=*/8);
+  CHECK(s8 != s1);
+  CHECK(s8 == nv::nnue_head_single(net, acc, 8));
+  CHECK(std::isfinite(s8));
+
+  // auto mode matches one of the explicit ISA behaviors
+  const float sauto = nv::nnue_head_single(net, acc, 0);
+  CHECK(sauto == s1 || sauto == s8 ||
+        sauto == nv::nnue_head_single(net, acc, 4));
+}
+
 void test_loader_rejections() {
   const std::string good = tiny_nnue_bytes();
   auto throws = [](const std::string& bytes) {
@@ -212,6 +265,7 @@ int main() {
   test_bad_magic_rejected();
   test_incremental_matches_refresh();
   test_head_arithmetic_exact();
+  test_single_score_path();
   test_loader_rejections();
   test_refresh_accumulator_exact();
   if (failures == 0) std::printf("ALL ENGINE TESTS PASSED\n");
