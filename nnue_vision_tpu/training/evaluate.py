@@ -42,6 +42,56 @@ from nnue_vision_tpu.training.step import eval_step
 REPO_ROOT = Path(__file__).resolve().parent.parent.parent
 
 
+class ResidentEvalLoader:
+    """Pre-normalized, device-resident eval split: upload ONCE, slice on
+    device every epoch.
+
+    Two reasons to exist: (1) per-epoch evals re-uploaded the whole split
+    every epoch (train+2×val ≈ 370 MB/epoch on a 20k-image task); on
+    tunneled TPU backends each host→device transfer leaks its host staging
+    buffer, which OOM-killed a 400-epoch run at 130 GB RSS — resident
+    slices make per-epoch eval traffic O(logits). (2) it removes the
+    upload from the eval critical path entirely.
+
+    Yields (device_images_normalized, host_labels) batches; marked with
+    `device_resident = True` so evaluate_model / evaluate_int8_sim skip
+    their own normalization. The bf16-safety decision needs only the
+    split's max|x| (engine_sim.conv_inputs_bf16_safe), precomputed here
+    host-side before the upload.
+    """
+
+    device_resident = True
+
+    def __init__(self, loader):
+        import jax
+
+        from nnue_vision_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
+
+        self.dataset = loader.dataset
+        self.batch_size = loader.batch_size
+        self.drop_last = bool(getattr(loader, "drop_last", False))
+        imgs = np.asarray(loader.dataset.images, np.float32)
+        normed = (imgs - np.asarray(IMAGENET_MEAN, np.float32)) / np.asarray(
+            IMAGENET_STD, np.float32
+        )
+        self.max_abs = float(np.max(np.abs(normed))) if normed.size else 0.0
+        self._images = jax.device_put(normed)
+        self._labels = np.asarray(loader.dataset.labels)
+
+    def __len__(self) -> int:
+        n = len(self._labels)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        n = len(self._labels)
+        stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for start in range(0, stop, self.batch_size):
+            end = min(start + self.batch_size, n)
+            yield self._images[start:end], self._labels[start:end]
+
+
 def engine_executable(model_type: str) -> Path:
     """Engine binary path with the upstream env overrides."""
     if model_type == "nnue":
@@ -61,8 +111,9 @@ def evaluate_model(
     """Float-path evaluation on device: (mean loss per batch, metrics)."""
     total_loss, n_batches = 0.0, 0
     outs, targets = [], []
+    resident = getattr(loader, "device_resident", False)
     for images, labels in loader:
-        x = normalize_images(np.asarray(images))
+        x = images if resident else normalize_images(np.asarray(images))
         loss, logits = eval_step(
             params, batch_stats, x, labels, model_type=model_type, model_cfg=model_cfg
         )
@@ -112,6 +163,7 @@ def evaluate_int8_sim(
     outs, targets, densities = [], [], []
     t0 = time.perf_counter()
     n = 0
+    resident = getattr(loader, "device_resident", False)
     if model_type == "nnue":
         sim_params, cfg = nnue_sim_params(q)
         if use_pallas == "mega":
@@ -160,11 +212,15 @@ def evaluate_int8_sim(
                 sim_params, x, cfg=cfg, image_h=h, image_w=w, conv_mode=cm
             )
         for images, labels in loader:
-            x = normalize_images(np.asarray(images))
+            x = images if resident else normalize_images(np.asarray(images))
             h, w = x.shape[1], x.shape[2]
             # bf16 conv feeds when bit-exact for this batch (host check;
-            # ~3x faster frontend), f32 otherwise — same logits either way
-            cm = "bf16" if conv_inputs_bf16_safe(x, cfg.conv_scale) else "f32"
+            # ~3x faster frontend), f32 otherwise — same logits either way.
+            # Resident loaders precompute the split max|x| so no per-batch
+            # device→host readback is needed.
+            cm = "bf16" if conv_inputs_bf16_safe(
+                loader.max_abs if resident else x, cfg.conv_scale
+            ) else "f32"
             logits, _, count = fwd(x, h, w, cm)
             outs.append(np.asarray(logits))
             targets.append(labels)
@@ -175,9 +231,11 @@ def evaluate_int8_sim(
     else:
         sim_params, cfg = etiny_sim_params(q)
         for images, labels in loader:
-            x = normalize_images(np.asarray(images))
+            x = images if resident else normalize_images(np.asarray(images))
             h, w = x.shape[1], x.shape[2]
-            cm = "bf16" if conv_inputs_bf16_safe(x, cfg.stem_scale) else "f32"
+            cm = "bf16" if conv_inputs_bf16_safe(
+                loader.max_abs if resident else x, cfg.stem_scale
+            ) else "f32"
             logits = etiny_engine_forward(
                 sim_params, x, cfg=cfg, image_h=h, image_w=w, conv_mode=cm
             )

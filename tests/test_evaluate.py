@@ -127,3 +127,59 @@ def test_int8_sim_mega_backend_matches_xla(model_and_data):
                           model_cfg=CFG, use_pallas="mega")
     assert a["f1"] == b["f1"] and a["acc"] == b["acc"]
     assert a["latent_density"] == b["latent_density"]
+
+
+def test_resident_eval_loader_matches_host_path(model_and_data):
+    """ResidentEvalLoader (upload-once, slice-on-device) must be
+    metric-identical to the per-batch host path for BOTH the float and
+    int8-sim evaluators — it exists to remove the per-epoch re-upload
+    (the tunneled-backend staging leak), not to change any number."""
+    from nnue_vision_tpu.training.evaluate import ResidentEvalLoader
+
+    params, loader = model_and_data
+    images, labels = loader[0]
+
+    class _L:  # minimal ArrayLoader shape over the fixture batch
+        batch_size = 3
+        drop_last = False
+
+        class dataset:
+            pass
+
+    host_loader = _L()
+    host_loader.dataset.images = images
+    host_loader.dataset.labels = labels
+
+    def batches():
+        for i in range(0, len(labels), 3):
+            yield images[i : i + 3], labels[i : i + 3]
+
+    class _Iter:
+        batch_size = 3
+        drop_last = False
+        dataset = host_loader.dataset
+
+        def __iter__(self):
+            return batches()
+
+        def __len__(self):
+            return (len(labels) + 2) // 3
+
+    resident = ResidentEvalLoader(host_loader)
+    assert len(resident) == len(_Iter())
+
+    loss_h, met_h = evaluate_model(params, None, _Iter(),
+                                   model_type="nnue", model_cfg=CFG)
+    loss_r, met_r = evaluate_model(params, None, resident,
+                                   model_type="nnue", model_cfg=CFG)
+    assert np.isclose(loss_h, loss_r, rtol=1e-5)
+    assert met_h["f1"] == pytest.approx(met_r["f1"])
+    assert met_h["acc"] == pytest.approx(met_r["acc"])
+
+    sim_h = evaluate_int8_sim(params, None, _Iter(),
+                              model_type="nnue", model_cfg=CFG)
+    sim_r = evaluate_int8_sim(params, None, resident,
+                              model_type="nnue", model_cfg=CFG)
+    assert sim_h["acc"] == sim_r["acc"]
+    assert sim_h["f1"] == sim_r["f1"]
+    assert sim_h["latent_density"] == pytest.approx(sim_r["latent_density"])
