@@ -6,8 +6,18 @@ Re-exports the evaluation API and adds a CLI:
 """
 
 import argparse
+import os
 import sys
 from pathlib import Path
+
+# NV_PLATFORM=cpu forces the CPU backend in-process (same guard as
+# train.py: this machine pins JAX_PLATFORMS=axon at a level a plain env
+# var does not override, and the TPU is single-tenant — a CPU-intended
+# eval would otherwise block on a busy chip).
+if os.environ.get("NV_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["NV_PLATFORM"])
 
 from nnue_vision_tpu.training.evaluate import (  # noqa: F401
     evaluate_compiled_model,
@@ -26,6 +36,12 @@ def main() -> int:
     parser.add_argument("--max_samples", type=int, default=None)
     parser.add_argument("--compiled", action="store_true",
                         help="also run the C++ engine evaluation")
+    parser.add_argument("--seed", type=int, default=42,
+                        help="dataset seed (must match the training run's "
+                        "to evaluate on the same held-out split)")
+    parser.add_argument("--synthetic_size", type=int, default=512,
+                        help="synthetic train-split size; the test split is "
+                        "size//4 (must match the training run's)")
     args = parser.parse_args()
 
     from serialize import load_checkpoint_auto
@@ -38,6 +54,8 @@ def main() -> int:
         batch_size=args.batch_size,
         max_samples_per_split=args.max_samples,
         use_augmentation=False,
+        seed=args.seed,
+        synthetic_size=args.synthetic_size,
     )
 
     loss, metrics = evaluate_model(
