@@ -56,3 +56,9 @@ keep_alive = False
 log_dir = "logs"
 project_name = "nnue_hard"
 compiled_backend = "sim"
+
+# per-epoch eval cost controls: train-split metrics on an unbiased head
+# subsample; eval batches 4x training (resident slicing makes batch size
+# free; fewer dispatches)
+eval_train_samples = 2560
+eval_batch_size = 1024

@@ -61,6 +61,29 @@ class ArrayLoader:
             yield self.dataset.images[idx], self.dataset.labels[idx]
 
 
+class _HeadSubset:
+    """First-n view of a dataset (synthetic splits are generated in random
+    label order, so the head is an unbiased sample)."""
+
+    def __init__(self, dataset, n: int):
+        self.images = dataset.images[:n]
+        self.labels = dataset.labels[:n]
+        self.is_synthetic = getattr(dataset, "is_synthetic", False)
+        self.class_names = getattr(dataset, "class_names", None)
+
+    def __len__(self) -> int:
+        return len(self.labels)
+
+
+def head_subset_loader(loader: ArrayLoader, n: int,
+                       batch_size: Optional[int] = None) -> ArrayLoader:
+    """A no-shuffle loader over the first n samples of `loader`'s dataset
+    (used to cheapen per-epoch train-split metric evaluation)."""
+    return ArrayLoader(
+        _HeadSubset(loader.dataset, n), batch_size or loader.batch_size
+    )
+
+
 def create_data_loaders(
     dataset_name: str = "cifar10",
     batch_size: int = 32,

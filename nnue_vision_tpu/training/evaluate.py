@@ -62,13 +62,16 @@ class ResidentEvalLoader:
 
     device_resident = True
 
-    def __init__(self, loader):
+    def __init__(self, loader, batch_size=None):
         import jax
 
         from nnue_vision_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
 
         self.dataset = loader.dataset
-        self.batch_size = loader.batch_size
+        # eval can use a larger batch than training (fewer device
+        # dispatches; resident slicing makes the batch size free) — each
+        # new shape costs one compile, amortized across epochs
+        self.batch_size = int(batch_size or loader.batch_size)
         self.drop_last = bool(getattr(loader, "drop_last", False))
         imgs = np.asarray(loader.dataset.images, np.float32)
         normed = (imgs - np.asarray(IMAGENET_MEAN, np.float32)) / np.asarray(

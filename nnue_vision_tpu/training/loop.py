@@ -374,14 +374,32 @@ def train_model(
     eval_train_loader, eval_val_loader, eval_test_loader = (
         train_loader, val_loader, test_loader,
     )
+    # config.eval_train_samples: evaluate per-epoch train/epoch_* metrics
+    # on only the first N train samples (an unbiased head for generated
+    # splits) — the full-split train metric is diagnostic, not a
+    # selection signal, and dominates eval dispatch count on big splits.
+    # config.eval_batch_size: larger eval batches = fewer dispatches.
+    eval_train_n = int(getattr(config, "eval_train_samples", 0) or 0)
+    eval_bs = getattr(config, "eval_batch_size", None)
+    if eval_train_n and eval_train_n < len(ds.labels):
+        from nnue_vision_tpu.data.loaders import head_subset_loader
+
+        eval_train_loader = head_subset_loader(train_loader, eval_train_n)
+        early_log(
+            f"train-split epoch metrics subsampled to {eval_train_n} samples"
+        )
     if mesh is None:
         from nnue_vision_tpu.training.evaluate import ResidentEvalLoader
 
         if ds.images.nbytes <= max_resident:
-            eval_train_loader = ResidentEvalLoader(train_loader)
+            eval_train_loader = ResidentEvalLoader(
+                eval_train_loader, batch_size=eval_bs
+            )
         if val_loader.dataset.images.nbytes <= max_resident:
-            eval_val_loader = ResidentEvalLoader(val_loader)
-            eval_test_loader = ResidentEvalLoader(test_loader)
+            eval_val_loader = ResidentEvalLoader(val_loader, batch_size=eval_bs)
+            eval_test_loader = ResidentEvalLoader(
+                test_loader, batch_size=eval_bs
+            )
 
     # Steps fused per device dispatch on the resident path (lax.scan);
     # amortizes dispatch overhead, which dominates for these model sizes.

@@ -359,3 +359,26 @@ def test_hflip_probability_distribution(rng):
     right = out[:, :, 4:, :].mean(axis=(1, 2, 3))
     flipped = (right > left).mean()
     assert 0.38 < flipped < 0.62, f"flip rate {flipped} not ≈ 0.5"
+
+
+def test_head_subset_loader():
+    """head_subset_loader yields only the first n samples, preserving
+    order, and supports a batch-size override (per-epoch train-metric
+    subsampling knob, config.eval_train_samples)."""
+    import numpy as np
+
+    from nnue_vision_tpu.data.loaders import ArrayLoader, head_subset_loader
+
+    class DS:
+        images = np.arange(40, dtype=np.float32).reshape(10, 2, 2, 1)
+        labels = np.arange(10)
+
+        def __len__(self):
+            return 10
+
+    sub = head_subset_loader(ArrayLoader(DS(), 4), 6, batch_size=3)
+    batches = list(sub)
+    assert [len(l) for _, l in batches] == [3, 3]
+    got = np.concatenate([l for _, l in batches])
+    assert np.array_equal(got, np.arange(6))
+    assert np.array_equal(batches[0][0], DS.images[:3])
