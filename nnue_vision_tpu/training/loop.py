@@ -546,8 +546,18 @@ def train_model(
 
             # during an ef warmup the float-phase model is not the
             # deployable function — best-F1 checkpointing applies only to
-            # epochs training the final (engine_friendly) config
-            is_new_best = epoch >= ef_warmup and val_metrics["f1"] > best_val_f1
+            # epochs training the final (engine_friendly) config.
+            # checkpoint_metric="compiled_f1" ranks epochs by the DEPLOYED
+            # (int8 engine-arithmetic) F1 instead of upstream's float val
+            # gate — on long QAT runs the two rank epochs differently by
+            # up to ~0.7 pt of compiled accuracy (PARITY.md, 400-epoch run)
+            gate_f1 = (
+                compiled_metrics["f1"]
+                if getattr(config, "checkpoint_metric", "val_f1")
+                == "compiled_f1"
+                else val_metrics["f1"]
+            )
+            is_new_best = epoch >= ef_warmup and gate_f1 > best_val_f1
 
             if orbax_ckpt is not None:
                 # async: returns immediately, write overlaps the next epoch.
@@ -564,14 +574,14 @@ def train_model(
                         "epoch": epoch,
                         "val_f1": float(val_metrics["f1"]),
                         "best_val_f1": float(
-                            max(best_val_f1, val_metrics["f1"])
+                            max(best_val_f1, gate_f1)
                             if is_new_best else best_val_f1
                         ),
                     },
                 )
 
             if is_new_best:
-                best_val_f1 = val_metrics["f1"]
+                best_val_f1 = gate_f1
                 manager.save_best(
                     model_type=model_type,
                     model_config=model_cfg,
@@ -579,7 +589,11 @@ def train_model(
                     batch_stats=state.batch_stats,
                     opt_state=state.opt_state,
                     epoch=epoch,
-                    metrics={"val_f1": val_metrics["f1"], "val_loss": val_loss},
+                    metrics={
+                        "val_f1": val_metrics["f1"],
+                        "val_loss": val_loss,
+                        "compiled_f1": compiled_metrics["f1"],
+                    },
                     config_name=getattr(config, "name", ""),
                 )
 
