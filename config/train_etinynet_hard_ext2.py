@@ -1,19 +1,18 @@
-"""Format-ceiling oracle (iii): train INSIDE the exact 7-level activation
-arithmetic from epoch 0 (no float warmup) at the same 150-epoch budget as
-the progressive run. Round-2 measured this unstable with the then-current
-recipe (peaks ~0.36, collapses); this run is the controlled re-measurement
-that pins down whether progressive warmup is load-bearing or incidental.
-Constraint being probed: the engine's ReLU6-as-clamp[0,6] activations
-(/root/reference/engine/src/nnue_engine.cpp:918,946).
+"""Ceiling-artifact run: the 400-epoch progressive schedule measured
+compiled 0.9529 best (PARITY.md "Measured format ceiling") but the float
+val gate saved a 0.9462 artifact. Re-run the identical recipe with the
+best-model gate on the DEPLOYED metric (checkpoint_metric=compiled_f1)
+and the resident-eval fixes, so the committed .etiny-able artifact sits
+at the measured ceiling.
 """
 
-name = "etinynet_hard_scratch"
+name = "etinynet_hard_ext2"
 
 etinynet_variant = "micro"
 use_asq = False
 asq_bits = 4
 engine_friendly = True
-ef_warmup_epochs = 0  # the only change vs train_etinynet_hard.py
+ef_warmup_epochs = 25
 
 dataset_name = "synthetic-hard"
 synthetic_size = 20000
@@ -28,7 +27,7 @@ learning_rate = 8e-4
 weight_decay = 1e-4
 momentum = 0.9
 optimizer_type = "adam"
-max_epochs = 150
+max_epochs = 400
 max_grad_norm = 1.0
 use_cosine_scheduler = True
 decay_lr = True
@@ -44,8 +43,9 @@ seed = 42
 deterministic = False
 keep_alive = False
 log_dir = "logs"
-project_name = "etinynet_hard_scratch"
+project_name = "etinynet_hard_ext2"
 compiled_backend = "sim"
 
+checkpoint_metric = "compiled_f1"
 eval_train_samples = 2560
 eval_batch_size = 1024
