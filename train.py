@@ -57,6 +57,15 @@ def setup_argument_parser() -> argparse.ArgumentParser:
                         help="Override progressive-QAT warmup epochs")
     parser.add_argument("--name_suffix", type=str,
                         help="Suffix appended to the config name (run labeling)")
+    parser.add_argument("--checkpoint_metric", choices=["val_f1", "compiled_f1"],
+                        help="Best-model gate: upstream float val F1 "
+                             "(default) or the deployed int8 compiled F1")
+    parser.add_argument("--eval_train_samples", type=int,
+                        help="Evaluate per-epoch train metrics on only the "
+                             "first N samples (cheaper epochs)")
+    parser.add_argument("--eval_batch_size", type=int,
+                        help="Batch size for per-epoch evals (device-resident "
+                             "slicing makes larger batches free)")
     # Multi-host (DCN) surface: every host runs the same command with its
     # own --process-id; omit all three on real TPU pods for auto-discovery
     # (parallel/distributed.py; SURVEY.md §2.15 DCN row).
@@ -79,7 +88,8 @@ def load_and_setup_config(args: argparse.Namespace, model_type: str):
     for attr in ("batch_size", "max_epochs", "learning_rate", "note",
                  "use_augmentation", "augmentation_strength", "num_classes",
                  "dataset_name", "etinynet_variant", "seed",
-                 "synthetic_class_seed", "distill_from", "ef_warmup_epochs"):
+                 "synthetic_class_seed", "distill_from", "ef_warmup_epochs",
+                 "checkpoint_metric", "eval_train_samples", "eval_batch_size"):
         value = getattr(args, attr, None)
         if value is not None:
             setattr(config, attr, value)
