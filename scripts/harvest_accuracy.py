@@ -99,19 +99,26 @@ def main() -> int:
         print("| config | n runs | final compiled mean | spread (max−min) "
               "| best compiled mean | spread (max−min) |")
         print("|---|---|---|---|---|---|")
-        for base, rs in sorted(groups.items()):
+        def agg_row(label, rs):
             fc = [r["final_compiled"] for r in rs if r["final_compiled"]]
             bc = [r["best_compiled"] for r in rs if r["best_compiled"]]
             if not fc:
-                continue
-            mean = sum(fc) / len(fc)
-            spread = max(fc) - min(fc)
-            bmean = sum(bc) / len(bc)
-            bspread = max(bc) - min(bc)
+                return
             print(
-                f"| {base} | {len(fc)} | {mean:.4f} | {spread:.4f} | "
-                f"{bmean:.4f} | {bspread:.4f} |"
+                f"| {label} | {len(fc)} | {sum(fc) / len(fc):.4f} | "
+                f"{max(fc) - min(fc):.4f} | {sum(bc) / len(bc):.4f} | "
+                f"{max(bc) - min(bc):.4f} |"
             )
+
+        for base, rs in sorted(groups.items()):
+            agg_row(base, rs)
+            # per-generator-variant breakdown: variant B is a different
+            # atom dictionary + class signatures (task-instance draw),
+            # variant A spread isolates training-seed noise
+            for vlabel, vsel in (("A", False), ("B", True)):
+                sel = [r for r in rs if bool(r["class_seed"]) == vsel]
+                if sel and len(sel) < len(rs):
+                    agg_row(f"{base} (variant {vlabel} only)", sel)
 
     # plateau check for extended runs: last-50-epoch trend
     for r in runs:
