@@ -11,6 +11,7 @@
 #include <cmath>
 #include <cstring>
 #include <fstream>
+#include <limits>
 
 #include "../include/nv/ints.h"
 #include "../include/nv/model.h"
@@ -286,6 +287,14 @@ float nnue_head_single(const NnueNet& net, const std::vector<int16_t>& acc,
     bias_lanes = (b[0] == 'a') ? 8 : (b[0] == 'n') ? 4 : 1;
   }
   const int l1 = net.l1, l2 = net.l2, l3 = net.l3;
+  // Upstream guard (nnue_engine.cpp:415-417): the factorization skip
+  // reads row l2 of the (l1, l1) factorization block, so l2 >= l1 means
+  // the file cannot carry this path — upstream returns NaN rather than
+  // reading out of bounds, and so do we (the multiclass path is
+  // unaffected and such files still load).
+  if (l2 >= l1) {
+    return std::numeric_limits<float>::quiet_NaN();
+  }
   const int16_t qone = static_cast<int16_t>(net.quantized_one);
 
   std::vector<int16_t> in(static_cast<size_t>(l1));

@@ -215,8 +215,22 @@ def _load_cifar_from_disk(root: Path, name: str, train: bool):
                     cache = Path.home() / ".cache" / "nnue_vision_tpu" / name
                     cache.mkdir(parents=True, exist_ok=True)
                     if not (cache / dirname).exists():
-                        with tarfile.open(t) as tf:
-                            tf.extractall(cache)
+                        # extract to a temp dir + atomic rename so an
+                        # interrupted extraction never leaves a partial
+                        # cache that later runs would trust forever
+                        import shutil
+                        import tempfile
+
+                        tmp = Path(tempfile.mkdtemp(dir=cache))
+                        try:
+                            with tarfile.open(t) as tf:
+                                tf.extractall(tmp)
+                            try:
+                                (tmp / dirname).rename(cache / dirname)
+                            except OSError:
+                                pass  # concurrent extractor won the race
+                        finally:
+                            shutil.rmtree(tmp, ignore_errors=True)
                     base = cache / dirname
                 break
     if not base.exists():

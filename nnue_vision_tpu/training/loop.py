@@ -391,15 +391,17 @@ def train_model(
     if mesh is None:
         from nnue_vision_tpu.training.evaluate import ResidentEvalLoader
 
-        if ds.images.nbytes <= max_resident:
-            eval_train_loader = ResidentEvalLoader(
-                eval_train_loader, batch_size=eval_bs
-            )
-        if val_loader.dataset.images.nbytes <= max_resident:
-            eval_val_loader = ResidentEvalLoader(val_loader, batch_size=eval_bs)
-            eval_test_loader = ResidentEvalLoader(
-                test_loader, batch_size=eval_bs
-            )
+        def _resident(loader):
+            # Gate each split on ITS OWN byte size (the train loader may be
+            # a head-subset view far smaller than the full dataset, and the
+            # test split can exceed the cap while val does not).
+            if loader.dataset.images.nbytes <= max_resident:
+                return ResidentEvalLoader(loader, batch_size=eval_bs)
+            return loader
+
+        eval_train_loader = _resident(eval_train_loader)
+        eval_val_loader = _resident(val_loader)
+        eval_test_loader = _resident(test_loader)
 
     # Steps fused per device dispatch on the resident path (lax.scan);
     # amortizes dispatch overhead, which dominates for these model sizes.

@@ -78,7 +78,7 @@ def main() -> int:
           "final compiled | best val | best compiled |")
     print("|---|---|---|---|---|---|---|---|---|")
     for r in runs:
-        variant = "B" if r["class_seed"] else "A"
+        variant = "A" if r["class_seed"] is None else "B"
         fc = r["final_compiled"]
         print(
             f"| {r['dir']} | {r['name']} | {r['seed']} | {variant} | "
@@ -116,7 +116,7 @@ def main() -> int:
             # atom dictionary + class signatures (task-instance draw),
             # variant A spread isolates training-seed noise
             for vlabel, vsel in (("A", False), ("B", True)):
-                sel = [r for r in rs if bool(r["class_seed"]) == vsel]
+                sel = [r for r in rs if (r["class_seed"] is not None) == vsel]
                 if sel and len(sel) < len(rs):
                     agg_row(f"{base} (variant {vlabel} only)", sel)
 

@@ -35,16 +35,19 @@ from nnue_vision_tpu.models.nnue import (  # noqa: E402
     GridFeatureSet, NNUEConfig, nnue_init, nnue_quantize,
 )
 from nnue_vision_tpu.ops.engine_sim import nnue_sim_params  # noqa: E402
+from nnue_vision_tpu.ops.timing import scalar_chained_best_ms  # noqa: E402
 from nnue_vision_tpu.ops.pallas_kernels import (  # noqa: E402
     _wrap_i16_i32, mega_head_params, nnue_engine_forward_mega,
 )
 
 
 def chained_ms(fwd, data, reps=400):
-    """Buffer-gather chaining (bench.py's original method). For Pallas
-    consumers the dynamic slice cannot fuse into the kernel operand, so
-    this method pays a full HBM copy of the input per rep — use
-    scalar_chained_ms for Pallas paths."""
+    """Buffer-gather chaining (bench.py's original method; kept in sync
+    by hand with bench.py's timed_infer — their traced graphs differ
+    slightly and unifying them would invalidate the driver's warm
+    compile cache). For Pallas consumers the dynamic slice cannot fuse
+    into the kernel operand, so this method pays a full HBM copy of the
+    input per rep — use scalar_chained_ms for Pallas paths."""
     n_buf = data.shape[0]
 
     @jax.jit
@@ -70,32 +73,12 @@ def chained_ms(fwd, data, reps=400):
 
 def scalar_chained_ms(fwd_with_bump, data_one, reps=400):
     """Serialize reps through a SCALAR data dependency instead of a
-    buffer gather: `fwd_with_bump(x, bump)` must thread `bump` (runtime
-    0.0) into its computation (e.g. threshold + bump). Each rep re-reads
-    the full input from HBM (Pallas operands always stream from HBM) and
-    cannot overlap or CSE with its neighbors (the bump depends on the
-    previous rep's output; float x·0 is not constant-foldable under NaN
-    semantics). This measures the kernel itself, without the
-    harness-side 100MB copy the buffer-gather method pays on Pallas
-    consumers."""
-
-    @jax.jit
-    def run(d):
-        def body(carry, _):
-            out = fwd_with_bump(d, carry * 0.0)
-            lead = out.reshape(-1)[0].astype(jnp.float32)
-            return lead, lead
-
-        _, outs = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
-        return outs[-1]
-
-    np.asarray(run(data_one))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(run(data_one))
-        best = min(best, time.perf_counter() - t0)
-    return best / reps * 1000.0
+    buffer gather (shared harness — nnue_vision_tpu/ops/timing.py; the
+    bump depends on the previous rep's output, so reps cannot overlap or
+    CSE, while each rep still re-reads the full input from HBM). This
+    measures the kernel itself, without the harness-side 100MB copy the
+    buffer-gather method pays on Pallas consumers."""
+    return scalar_chained_best_ms(fwd_with_bump, data_one, reps)
 
 
 def make_stage_call(head, cfg, level, tile_b=512):

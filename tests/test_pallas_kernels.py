@@ -105,6 +105,9 @@ def test_conv_as_matrix_equals_int_conv(rng, h, w, grid, ch):
     qflat = np.asarray(qin, np.float32).reshape(3, -1)
     lifted = qflat @ wfull + bias_row
     np.testing.assert_array_equal(lifted, acc.reshape(3, -1).astype(np.float32))
+
+
+def test_megafused_qbf16_input_mode_bit_exact(rng):
     """input_mode="qbf16" (host pre-quantized bf16 images, half the HBM
     read) must produce identical bits to the f32 input mode."""
     from nnue_vision_tpu.ops.pallas_kernels import quantize_images_for_mega
