@@ -220,6 +220,13 @@ void test_single_score_path() {
   const float sauto = nv::nnue_head_single(net, acc, 0);
   CHECK(sauto == s1 || sauto == s8 ||
         sauto == nv::nnue_head_single(net, acc, 4));
+
+  // l2 >= l1: the factorization skip would read row l2 of an (l1, l1)
+  // block — upstream returns NaN (nnue_engine.cpp:415-417) instead of
+  // reading out of bounds, and so do we
+  nv::NnueNet bad = net;
+  bad.l1 = 2; bad.l2 = 2;
+  CHECK(std::isnan(nv::nnue_head_single(bad, {100, 50}, 1)));
 }
 
 void test_loader_rejections() {
