@@ -95,6 +95,16 @@ class ResidentEvalLoader:
             yield self._images[start:end], self._labels[start:end]
 
 
+def maybe_resident(loader, max_bytes, batch_size=None):
+    """Wrap `loader` in a ResidentEvalLoader iff ITS OWN split fits the
+    device-residency byte cap (each split is gated independently — the
+    train loader may be a head-subset view far smaller than the full
+    dataset, and the test split can exceed the cap while val does not)."""
+    if loader.dataset.images.nbytes <= max_bytes:
+        return ResidentEvalLoader(loader, batch_size=batch_size)
+    return loader
+
+
 def engine_executable(model_type: str) -> Path:
     """Engine binary path with the upstream env overrides."""
     if model_type == "nnue":

@@ -389,19 +389,13 @@ def train_model(
             f"train-split epoch metrics subsampled to {eval_train_n} samples"
         )
     if mesh is None:
-        from nnue_vision_tpu.training.evaluate import ResidentEvalLoader
+        from nnue_vision_tpu.training.evaluate import maybe_resident
 
-        def _resident(loader):
-            # Gate each split on ITS OWN byte size (the train loader may be
-            # a head-subset view far smaller than the full dataset, and the
-            # test split can exceed the cap while val does not).
-            if loader.dataset.images.nbytes <= max_resident:
-                return ResidentEvalLoader(loader, batch_size=eval_bs)
-            return loader
-
-        eval_train_loader = _resident(eval_train_loader)
-        eval_val_loader = _resident(val_loader)
-        eval_test_loader = _resident(test_loader)
+        eval_train_loader = maybe_resident(
+            eval_train_loader, max_resident, eval_bs
+        )
+        eval_val_loader = maybe_resident(val_loader, max_resident, eval_bs)
+        eval_test_loader = maybe_resident(test_loader, max_resident, eval_bs)
 
     # Steps fused per device dispatch on the resident path (lax.scan);
     # amortizes dispatch overhead, which dominates for these model sizes.

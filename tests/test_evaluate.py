@@ -183,3 +183,33 @@ def test_resident_eval_loader_matches_host_path(model_and_data):
     assert sim_h["acc"] == sim_r["acc"]
     assert sim_h["f1"] == sim_r["f1"]
     assert sim_h["latent_density"] == pytest.approx(sim_r["latent_density"])
+
+
+def test_maybe_resident_gates_each_split_on_its_own_size(model_and_data):
+    """The residency byte cap applies per split: a small split wraps, a
+    split over the cap is returned untouched (regression: the test split
+    used to be gated on the VAL split's size, and a subsetted train view
+    on the FULL dataset's size)."""
+    from nnue_vision_tpu.training.evaluate import (
+        ResidentEvalLoader,
+        maybe_resident,
+    )
+
+    _, loader = model_and_data
+    images, labels = loader[0]
+
+    class _L:
+        batch_size = 3
+        drop_last = False
+
+        class dataset:
+            pass
+
+    small = _L()
+    small.dataset.images = images
+    small.dataset.labels = labels
+
+    cap = images.nbytes  # exactly at the cap: wraps (<=)
+    assert isinstance(maybe_resident(small, cap), ResidentEvalLoader)
+    # one byte under the split size: left unwrapped
+    assert maybe_resident(small, cap - 1) is small
