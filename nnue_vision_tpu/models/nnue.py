@@ -240,6 +240,20 @@ def nnue_apply(
         p["out_b"] = _bq(params["out_b"], 4096)
         params = p
 
+    if cfg.qat:
+        # Serialization collapses the per-channel thresholds to their
+        # channel MEAN (nnue_quantize; upstream nnue.py:556-558 does the
+        # same), so the deployed engine compares against one scalar. Train
+        # the compare against that same collapsed scalar: with per-channel
+        # values the channels drift apart and deployment silently flips
+        # whole channels (measured: latent density 0.22 → 0.58 in one
+        # epoch, compiled f1 0.90 → 0.44, while float val kept improving —
+        # logs/runs/run_20260817_161814). Gradient flows to every channel
+        # through the mean, so the parameter stays per-channel shaped.
+        t = params["visual_threshold"]
+        params = dict(params)
+        params["visual_threshold"] = jnp.broadcast_to(jnp.mean(t), t.shape)
+
     # Conv frontend, engine-geometry (stride from the engine rule).
     rhs = jnp.transpose(params["conv_w"], (2, 3, 1, 0)).astype(dtype)  # HWIO
     conv = jax.lax.conv_general_dilated(

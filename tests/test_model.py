@@ -208,3 +208,61 @@ def test_model_facade(rng):
     assert data["feature_transformer"]["weight"].dtype == np.int16
     assert data["conv_layer"]["weight"].dtype == np.int8
     assert data["metadata"]["quantized_one"] == 127.0
+
+
+def test_qat_threshold_trains_against_deployed_scalar(rng):
+    """Serialization collapses per-channel visual thresholds to their mean
+    (as upstream does), so the QAT forward must compare against that same
+    scalar: spread the channels around a fixed mean and the QAT logits,
+    mask, and density must not move (regression for the varB_s44 collapse,
+    where channel drift flipped the deployed density 0.22 → 0.58)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, qat=True)
+    params = dict(nnue_init(jax.random.PRNGKey(0), cfg))
+    ch = params["visual_threshold"].shape[0]
+    x = jnp.asarray(rng.random((4, 16, 16, 3), dtype=np.float32))
+
+    spread = dict(params)
+    spread["visual_threshold"] = params["visual_threshold"] + jnp.linspace(
+        -0.4, 0.4, ch
+    )  # same mean (linspace is symmetric), very different per-channel
+
+    ref, ref_aux = nnue_apply(params, x, cfg, return_aux=True)
+    got, got_aux = nnue_apply(spread, x, cfg, return_aux=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    np.testing.assert_array_equal(
+        np.asarray(got_aux["mask"]), np.asarray(ref_aux["mask"])
+    )
+
+    # the float (non-QAT) path keeps upstream's per-channel semantics —
+    # the same spread must change the mask there (test sensitivity check)
+    fcfg = dataclasses.replace(TINY, qat=False)
+    _, f_ref = nnue_apply(params, x, fcfg, return_aux=True)
+    _, f_got = nnue_apply(spread, x, fcfg, return_aux=True)
+    assert not np.array_equal(
+        np.asarray(f_got["mask"]), np.asarray(f_ref["mask"])
+    )
+
+    # and the QAT-forward density must equal the deployed engine sim's
+    # density for the spread model (the train metric IS the deploy metric)
+    from nnue_vision_tpu.ops.engine_sim import (
+        nnue_engine_forward,
+        nnue_sim_params,
+    )
+
+    q = nnue_quantize(spread, cfg)
+    sim_params, sim_cfg = nnue_sim_params(q)
+    _, sim_density, _ = nnue_engine_forward(
+        sim_params, x, cfg=sim_cfg, image_h=16, image_w=16
+    )
+    # The sim additionally quantizes the INPUT image and uses the engine's
+    # truncating /scale (engine_sim._quantize_input/_tdiv), which the QAT
+    # forward deliberately does not model, so conv values near the
+    # threshold can flip a few features either way. The regression this
+    # test guards against moved density by 0.36 (0.216 → 0.578); assert
+    # train-metric ≈ deploy-metric at a tolerance far below that but far
+    # above the boundary jitter (measured ≤ 0.032 on this config).
+    np.testing.assert_allclose(
+        np.asarray(got_aux["density"]), np.asarray(sim_density), atol=0.06
+    )
