@@ -271,7 +271,26 @@ def nnue_apply(
     b = mask.shape[0]
     flat = mask.reshape(b, -1)
     pad = fs.num_features - flat.shape[1]
-    features = jnp.pad(flat, ((0, 0), (0, pad)))
+    if cfg.qat and pad > 0:
+        # The engine thresholds the whole zero-filled feature buffer, so
+        # the `pad` trailing features are ACTIVE whenever the threshold is
+        # negative (nnue_engine.h:246 — buf[f] > thresh with buf[f] == 0).
+        # Train that exact semantics: threshold a zero tail through the
+        # same STE, so (a) the train metric equals the deploy metric on
+        # the cliff's far side, and (b) the surrogate gradient repels the
+        # threshold from the cliff edge before it is crossed. Without
+        # this, a threshold mean drifting below 0 flips all pad features
+        # at deploy only — measured as a one-epoch compiled collapse
+        # (density 0.215 → 0.575, f1 0.90 → 0.45) invisible to training.
+        # The float path keeps upstream's semantics (always-zero tail);
+        # upstream has this deployment cliff.
+        pad_feats = binary_activation_ste(
+            jnp.zeros((b, 1, pad, 1), dtype),
+            params["visual_threshold"][:1].astype(dtype),
+        ).reshape(b, pad)
+        features = jnp.concatenate([flat, pad_feats], axis=1)
+    else:
+        features = jnp.pad(flat, ((0, 0), (0, pad)))
 
     # Feature transformer as a dense masked matmul (MXU).
     ft = features @ params["ft_w"].astype(dtype) + params["ft_b"].astype(dtype)
@@ -312,7 +331,10 @@ def nnue_apply(
     logits = logits.astype(jnp.float32)
 
     if return_aux:
-        density = flat.sum(axis=1).astype(jnp.float32) / fs.num_features
+        # density over the FULL buffer — the engine's active_count includes
+        # the pad features (nnue_inference.cpp:54); identical to the old
+        # real-features-only sum whenever the pad tail is inactive.
+        density = features.sum(axis=1).astype(jnp.float32) / fs.num_features
         return logits, {"density": density, "mask": features}
     return logits
 

@@ -266,3 +266,58 @@ def test_qat_threshold_trains_against_deployed_scalar(rng):
     np.testing.assert_allclose(
         np.asarray(got_aux["density"]), np.asarray(sim_density), atol=0.06
     )
+
+
+def test_qat_negative_threshold_activates_padding_like_engine(rng):
+    """The engine thresholds the zero-filled feature buffer, so a negative
+    threshold activates every padding feature (nnue_engine.h:246). The QAT
+    forward must train that exact semantics — the varB_s44 collapse was the
+    threshold mean crossing 0: deployed density jumped 0.215 → 0.575 in one
+    epoch while training (always-zero pad tail) saw nothing."""
+    import dataclasses
+
+    # grid 5 on a 16px input: conv out 4×4 → 64 real of 100 grid features,
+    # 36 padding (the flagship hard config has the same shape of gap:
+    # 512 real of 800, 288 pad → the 0.36 density jump)
+    cfg = dataclasses.replace(
+        TINY, feature_set=GridFeatureSet(5, 4), qat=True
+    )
+    params = dict(nnue_init(jax.random.PRNGKey(1), cfg))
+    fs = cfg.feature_set
+    n_real = cfg.conv_out_hw**2 * fs.num_features_per_square
+    pad = fs.num_features - n_real
+    assert pad > 0, "config must have padding features for this test"
+    x = jnp.asarray(rng.random((3, 16, 16, 3), dtype=np.float32))
+
+    neg = dict(params)
+    neg["visual_threshold"] = jnp.full_like(params["visual_threshold"], -0.05)
+
+    _, aux = nnue_apply(neg, x, cfg, return_aux=True)
+    # pad tail fully active in the QAT forward...
+    np.testing.assert_array_equal(
+        np.asarray(aux["mask"][:, n_real:]), 1.0
+    )
+    # ...exactly like the deployed engine sim
+    from nnue_vision_tpu.ops.engine_sim import (
+        nnue_engine_forward,
+        nnue_sim_params,
+    )
+
+    q = nnue_quantize(neg, cfg)
+    sim_params, sim_cfg = nnue_sim_params(q)
+    _, sim_density, _ = nnue_engine_forward(
+        sim_params, x, cfg=sim_cfg, image_h=16, image_w=16
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux["density"]), np.asarray(sim_density), atol=0.06
+    )
+    # and the threshold still receives gradient through the pad tail
+    grad = jax.grad(
+        lambda p: nnue_apply(p, x, cfg, return_aux=True)[1]["density"].sum()
+    )(neg)
+    assert float(jnp.abs(grad["visual_threshold"]).sum()) > 0.0
+
+    # the float path keeps upstream's always-zero tail
+    fcfg = dataclasses.replace(cfg, qat=False)
+    _, faux = nnue_apply(neg, x, fcfg, return_aux=True)
+    np.testing.assert_array_equal(np.asarray(faux["mask"][:, n_real:]), 0.0)
