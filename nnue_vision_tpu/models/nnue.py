@@ -251,8 +251,13 @@ def nnue_apply(
         # logs/runs/run_20260817_161814). Gradient flows to every channel
         # through the mean, so the parameter stays per-channel shaped.
         t = params["visual_threshold"]
+        deployed_thresh = jnp.mean(t, keepdims=True)  # (1,) — the scalar
         params = dict(params)
-        params["visual_threshold"] = jnp.broadcast_to(jnp.mean(t), t.shape)
+        params["visual_threshold"] = jnp.broadcast_to(
+            deployed_thresh, t.shape
+        )
+    else:
+        deployed_thresh = None
 
     # Conv frontend, engine-geometry (stride from the engine rule).
     rhs = jnp.transpose(params["conv_w"], (2, 3, 1, 0)).astype(dtype)  # HWIO
@@ -286,7 +291,7 @@ def nnue_apply(
         # upstream has this deployment cliff.
         pad_feats = binary_activation_ste(
             jnp.zeros((b, 1, pad, 1), dtype),
-            params["visual_threshold"][:1].astype(dtype),
+            deployed_thresh.astype(dtype),
         ).reshape(b, pad)
         features = jnp.concatenate([flat, pad_feats], axis=1)
     else:

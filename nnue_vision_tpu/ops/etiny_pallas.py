@@ -280,14 +280,17 @@ def etiny_forward_pallas(
     image_h: int,
     image_w: int,
     interpret: bool = False,
-    conv_mode: str = "bf16",
+    conv_mode: str = "f32",
     rows_target: int = _ROWS_TARGET,
 ) -> jnp.ndarray:
     """Bit-exact EtinyNet int8 inference, fused-block Pallas path.
 
     Same contract as `etiny_engine_forward` (identical to the
-    `etinynet_inference` CLI, nnue_engine.cpp:1318-1419): stem conv +
-    pool + classifier in XLA, every LB/DLB block as one Pallas kernel.
+    `etinynet_inference` CLI, nnue_engine.cpp:1318-1419), including the
+    same safe `conv_mode="f32"` stem default — "bf16" is opt-in and
+    exact only while every |quantized stem input| ≤ 256 (callers check
+    `conv_inputs_bf16_safe`, as with the sim). Stem conv + pool +
+    classifier run in XLA, every LB/DLB block as one Pallas kernel.
     Requires power-of-two spatial dims at every block (true for 32×32
     inputs; 112×112 ImageNet models fall back to the XLA sim).
     """

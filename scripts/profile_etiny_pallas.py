@@ -42,6 +42,11 @@ def main(batch=2048, reps=100, n_buf=4, variant="micro"):
         rng.standard_normal((n_buf, batch, 32, 32, 3)).astype(np.float32)
     )
 
+    # Both paths in the SAME stem mode — an apples-to-apples XLA-vs-Pallas
+    # check. bf16 here is a timing configuration: these standard-normal
+    # inputs exceed the |qx| <= 256 bf16-exact window, so neither path
+    # would match the C++ engine (production callers gate bf16 on
+    # conv_inputs_bf16_safe; both paths default to the safe f32 stem).
     ref = np.asarray(etiny_engine_forward(
         sim_params, data[0], cfg=cfg, image_h=32, image_w=32, conv_mode="bf16"
     ))

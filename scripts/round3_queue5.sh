@@ -7,10 +7,15 @@
 # may improve.
 
 cd /root/repo || exit 1
+DEADLINE="${NV_QUEUE_DEADLINE:-0}"
 LOG=logs/round3_queue.log
-echo "=== queue5 start $(date) ===" >> "$LOG"
+echo "=== queue5 start $(date) deadline=$DEADLINE ===" >> "$LOG"
 
 run() {
+    if [ "$DEADLINE" != "0" ] && [ "$(date +%s)" -gt "$DEADLINE" ]; then
+        echo "SKIP (deadline): $*" >> "$LOG"
+        return
+    fi
     echo "=== START $(date +%H:%M:%S): $*" >> "$LOG"
     timeout "$1" python train.py "${@:2}" >> "$LOG" 2>&1
     rc=$?

@@ -210,7 +210,7 @@ def test_model_facade(rng):
     assert data["metadata"]["quantized_one"] == 127.0
 
 
-def test_qat_threshold_trains_against_deployed_scalar(rng):
+def test_qat_threshold_trains_against_deployed_scalar():
     """Serialization collapses per-channel visual thresholds to their mean
     (as upstream does), so the QAT forward must compare against that same
     scalar: spread the channels around a fixed mean and the QAT logits,
@@ -218,6 +218,10 @@ def test_qat_threshold_trains_against_deployed_scalar(rng):
     where channel drift flipped the deployed density 0.22 → 0.58)."""
     import dataclasses
 
+    # local rng: the density-vs-sim tolerance below was measured for THIS
+    # draw; the session-scoped fixture's stream position depends on test
+    # order and would make the margin nondeterministic
+    rng = np.random.default_rng(1234)
     cfg = dataclasses.replace(TINY, qat=True)
     params = dict(nnue_init(jax.random.PRNGKey(0), cfg))
     ch = params["visual_threshold"].shape[0]
@@ -268,7 +272,7 @@ def test_qat_threshold_trains_against_deployed_scalar(rng):
     )
 
 
-def test_qat_negative_threshold_activates_padding_like_engine(rng):
+def test_qat_negative_threshold_activates_padding_like_engine():
     """The engine thresholds the zero-filled feature buffer, so a negative
     threshold activates every padding feature (nnue_engine.h:246). The QAT
     forward must train that exact semantics — the varB_s44 collapse was the
@@ -287,6 +291,7 @@ def test_qat_negative_threshold_activates_padding_like_engine(rng):
     n_real = cfg.conv_out_hw**2 * fs.num_features_per_square
     pad = fs.num_features - n_real
     assert pad > 0, "config must have padding features for this test"
+    rng = np.random.default_rng(5678)  # local: deterministic tolerance margin
     x = jnp.asarray(rng.random((3, 16, 16, 3), dtype=np.float32))
 
     neg = dict(params)
