@@ -11,11 +11,15 @@
 
 #include "../include/nv/simd.h"
 
-#if defined(__AVX2__)
+#if defined(__AVX512BW__) || defined(__AVX2__)
 #include <immintrin.h>
 #elif defined(__ARM_NEON)
 #include <arm_neon.h>
 #endif
+
+// NV_USE_AVX512 selects the (opt-in) AVX-512 backend below; see the
+// rationale on that block. Without it, AVX-512-capable hosts use the
+// AVX2 backend, which measures faster for these buffer lengths.
 
 namespace nv {
 namespace simd {
@@ -47,7 +51,135 @@ void madd_i8_i8_scalar(int32_t* acc, const int8_t* x, const int8_t* w,
   for (int i = 0; i < n; ++i) acc[i] += int32_t(x[i]) * int32_t(w[i]);
 }
 
-#if defined(__AVX2__)
+#if defined(__AVX512BW__) && defined(NV_USE_AVX512)
+
+// AVX-512BW: 32-lane int16 accumulator ops and 512-bit madd dots; with
+// AVX-512VNNI the dot kernels use vpdpwssd (fused multiply-pairs +
+// int32 accumulate, one µop where AVX2 needs madd+add). Semantics are
+// bit-identical to the scalar reference: int16 add/sub wraps the same,
+// and the pairwise int32 sums are exact for engine-legal values (same
+// bound argument as the AVX2 path below).
+//
+// OPT-IN (-DNV_AVX512=ON), not the default even on AVX-512 hosts: the
+// measured A/B on this build host (docs/SPEED_PARITY.md) has the AVX2
+// backend FASTER end-to-end — NNUE 0.0274 vs 0.0296 ms/image, EtinyNet
+// 0.0970 vs 0.1173 — the engine's buffers are short (≤1024 lanes), so
+// 512-bit vectors buy few iterations while the horizontal reductions
+// and per-core 512-bit throughput penalties cost more than they save.
+// The backend is kept (a) as parity-tested groundwork for hosts where
+// 512-bit integer ops do win, and (b) as the measured rejection
+// evidence. test_simd_avx512 keeps it bit-exact in every build.
+
+#if defined(__AVX512VNNI__)
+const char* backend() { return "avx512+vnni"; }
+#else
+const char* backend() { return "avx512"; }
+#endif
+
+namespace {
+inline __m512i dot_step(__m512i acc, __m512i xv, __m512i wv) {
+#if defined(__AVX512VNNI__)
+  return _mm512_dpwssd_epi32(acc, xv, wv);
+#else
+  return _mm512_add_epi32(acc, _mm512_madd_epi16(xv, wv));
+#endif
+}
+}  // namespace
+
+void acc_add_i16(int16_t* acc, const int16_t* row, int n) {
+  int i = 0;
+  for (; i + 64 <= n; i += 64) {
+    for (int k = 0; k < 64; k += 32) {
+      __m512i a = _mm512_loadu_si512(acc + i + k);
+      __m512i r = _mm512_loadu_si512(row + i + k);
+      _mm512_storeu_si512(acc + i + k, _mm512_add_epi16(a, r));
+    }
+  }
+  for (; i + 32 <= n; i += 32) {
+    __m512i a = _mm512_loadu_si512(acc + i);
+    __m512i r = _mm512_loadu_si512(row + i);
+    _mm512_storeu_si512(acc + i, _mm512_add_epi16(a, r));
+  }
+  acc_add_i16_scalar(acc + i, row + i, n - i);
+}
+
+void acc_sub_i16(int16_t* acc, const int16_t* row, int n) {
+  int i = 0;
+  for (; i + 64 <= n; i += 64) {
+    for (int k = 0; k < 64; k += 32) {
+      __m512i a = _mm512_loadu_si512(acc + i + k);
+      __m512i r = _mm512_loadu_si512(row + i + k);
+      _mm512_storeu_si512(acc + i + k, _mm512_sub_epi16(a, r));
+    }
+  }
+  for (; i + 32 <= n; i += 32) {
+    __m512i a = _mm512_loadu_si512(acc + i);
+    __m512i r = _mm512_loadu_si512(row + i);
+    _mm512_storeu_si512(acc + i, _mm512_sub_epi16(a, r));
+  }
+  acc_sub_i16_scalar(acc + i, row + i, n - i);
+}
+
+int32_t dot_i16_i8(const int16_t* x, const int8_t* w, int n) {
+  // Two independent accumulators hide the dot-step latency.
+  __m512i acc0 = _mm512_setzero_si512(), acc1 = _mm512_setzero_si512();
+  int i = 0;
+  for (; i + 64 <= n; i += 64) {
+    __m512i x0 = _mm512_loadu_si512(x + i);
+    __m512i x1 = _mm512_loadu_si512(x + i + 32);
+    __m512i w0 = _mm512_cvtepi8_epi16(
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(w + i)));
+    __m512i w1 = _mm512_cvtepi8_epi16(
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(w + i + 32)));
+    acc0 = dot_step(acc0, x0, w0);
+    acc1 = dot_step(acc1, x1, w1);
+  }
+  for (; i + 32 <= n; i += 32) {
+    __m512i xv = _mm512_loadu_si512(x + i);
+    __m512i wv = _mm512_cvtepi8_epi16(
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(w + i)));
+    acc0 = dot_step(acc0, xv, wv);
+  }
+  int32_t r = _mm512_reduce_add_epi32(_mm512_add_epi32(acc0, acc1));
+  if (i < n) r += dot_i16_i8_scalar(x + i, w + i, n - i);
+  return r;
+}
+
+int32_t dot_i8_i8(const int8_t* x, const int8_t* w, int n) {
+  __m512i acc = _mm512_setzero_si512();
+  int i = 0;
+  for (; i + 32 <= n; i += 32) {
+    __m512i xv = _mm512_cvtepi8_epi16(
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(x + i)));
+    __m512i wv = _mm512_cvtepi8_epi16(
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(w + i)));
+    acc = dot_step(acc, xv, wv);
+  }
+  int32_t r = _mm512_reduce_add_epi32(acc);
+  if (i < n) r += dot_i8_i8_scalar(x + i, w + i, n - i);
+  return r;
+}
+
+void madd_i8_i8(int32_t* acc, const int8_t* x, const int8_t* w, int n) {
+  int i = 0;
+  for (; i + 32 <= n; i += 32) {
+    // int16 products are exact (|x|,|w| ≤ 127 ⇒ |p| ≤ 16129 < 2^15).
+    __m512i xv = _mm512_cvtepi8_epi16(
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(x + i)));
+    __m512i wv = _mm512_cvtepi8_epi16(
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(w + i)));
+    __m512i p = _mm512_mullo_epi16(xv, wv);
+    __m512i lo = _mm512_cvtepi16_epi32(_mm512_castsi512_si256(p));
+    __m512i hi = _mm512_cvtepi16_epi32(_mm512_extracti64x4_epi64(p, 1));
+    _mm512_storeu_si512(acc + i,
+                        _mm512_add_epi32(_mm512_loadu_si512(acc + i), lo));
+    _mm512_storeu_si512(
+        acc + i + 16, _mm512_add_epi32(_mm512_loadu_si512(acc + i + 16), hi));
+  }
+  if (i < n) madd_i8_i8_scalar(acc + i, x + i, w + i, n - i);
+}
+
+#elif defined(__AVX2__)
 
 const char* backend() { return "avx2"; }
 

@@ -19,11 +19,19 @@ same way tests/test_upstream_interchange.py uses its binaries.
 from __future__ import annotations
 
 import argparse
+import os
 import subprocess
 import sys
 import tempfile
 import time
 from pathlib import Path
+
+# CPU-only workload: force the platform BEFORE any jax import. On this
+# host the shell env var alone does not win over the TPU plugin's
+# default — it must be set in-process (same pattern as tests/conftest.py)
+# or the model-serialization step initializes (and can hang on) the
+# remote TPU tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import numpy as np
 
