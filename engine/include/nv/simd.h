@@ -35,6 +35,15 @@ int32_t dot_i16_i8(const int16_t* x, const int8_t* w, int n);
 int32_t dot_i8_i8_scalar(const int8_t* x, const int8_t* w, int n);
 int32_t dot_i8_i8(const int8_t* x, const int8_t* w, int n);
 
+// sum_i int32(x[i]) * int32(w[i]) with x REQUIRED in [0, 127] ("u7") —
+// the NNUE dense head's clipped-ReLU activations. The domain restriction
+// enables the unsigned×signed byte dot (vpmaddubsw on AVX2, vpdpbusd on
+// AVX-512-VNNI): two u7·i8 products sum to at most ±32258, inside int16,
+// so the saturating pairwise add never saturates and the result is exact.
+// Callers must clamp to [0,127] first (the engine head already does).
+int32_t dot_u7_i8_scalar(const uint8_t* x, const int8_t* w, int n);
+int32_t dot_u7_i8(const uint8_t* x, const int8_t* w, int n);
+
 // acc[i] += int32(x[i]) * int32(w[i]) — elementwise multiply-accumulate
 // into an int32 buffer (the depthwise-conv tap loop, channels innermost).
 void madd_i8_i8_scalar(int32_t* acc, const int8_t* x, const int8_t* w, int n);

@@ -221,10 +221,14 @@ std::vector<float> etiny_evaluate(const EtinyNet& net, const float* image,
     {
       const int32_t s = static_cast<int32_t>(blk.s_project);
       for (int p = 0; p < dh * dw_; ++p) {
-        const int8_t* px = &dwout[size_t(p) * blk.mid_c];
+        // dwout is ReLU6 output (values 0..6) — inside the u7 domain, so
+        // the unsigned×signed byte dot applies; the reinterpret is
+        // value-preserving for non-negative int8.
+        const uint8_t* px =
+            reinterpret_cast<const uint8_t*>(&dwout[size_t(p) * blk.mid_c]);
         int8_t* out = &next[size_t(p) * blk.out_c];  // flat placement
         for (int o = 0; o < blk.out_c; ++o) {
-          const int32_t acc = simd::dot_i8_i8(
+          const int32_t acc = simd::dot_u7_i8(
               px, &blk.pw_project[size_t(o) * blk.mid_c], blk.mid_c);
           out[o] = sat_i8(tdiv(acc, s));
         }

@@ -230,39 +230,40 @@ std::vector<float> nnue_head(const NnueNet& net,
   const int half = l1 / 2;
   const int16_t qone = static_cast<int16_t>(net.quantized_one);
 
-  // clipped ReLU + pairwise interaction
-  std::vector<int16_t> pairwise(l1);
+  // clipped ReLU + pairwise interaction. All head activations are
+  // clamped to [0, 127], so they live in uint8 buffers and the dense
+  // dots take the u7×i8 fast path (vpmaddubsw/vpdpbusd — 2-4× the bytes
+  // per instruction of the int16 dot; values unchanged, bit-exact).
+  std::vector<uint8_t> pairwise(l1);
   for (int i = 0; i < half; ++i) {
     int32_t a = clamp_i32(acc[i], 0, qone);
     int32_t b = clamp_i32(acc[i + half], 0, qone);
-    pairwise[i] = static_cast<int16_t>(clamp_i32((a * b) / 128, 0, 127));
-    pairwise[i + half] = static_cast<int16_t>(clamp_i32(a, 0, 127));
+    pairwise[i] = static_cast<uint8_t>(clamp_i32((a * b) / 128, 0, 127));
+    pairwise[i + half] = static_cast<uint8_t>(clamp_i32(a, 0, 127));
   }
 
-  // h1/h2 hold clipped-ReLU values (0..127); int16 storage feeds the
-  // vectorized dot without changing any value.
-  std::vector<int16_t> h1(l2);
+  std::vector<uint8_t> h1(l2);
   const int32_t s1 = static_cast<int32_t>(net.fc1_scale);
   for (int r = 0; r < l2; ++r) {
     int32_t a = net.fc1_b[r] +
-                simd::dot_i16_i8(pairwise.data(), &net.fc1_w[size_t(r) * l1],
-                                 l1);
-    h1[r] = static_cast<int16_t>(clamp_i32(tdiv(a, s1), 0, 127));
+                simd::dot_u7_i8(pairwise.data(), &net.fc1_w[size_t(r) * l1],
+                                l1);
+    h1[r] = static_cast<uint8_t>(clamp_i32(tdiv(a, s1), 0, 127));
   }
 
-  std::vector<int16_t> h2(l3);
+  std::vector<uint8_t> h2(l3);
   const int32_t s2 = static_cast<int32_t>(net.fc2_scale);
   for (int r = 0; r < l3; ++r) {
     int32_t a = net.fc2_b[r] +
-                simd::dot_i16_i8(h1.data(), &net.fc2_w[size_t(r) * l2], l2);
-    h2[r] = static_cast<int16_t>(
+                simd::dot_u7_i8(h1.data(), &net.fc2_w[size_t(r) * l2], l2);
+    h2[r] = static_cast<uint8_t>(
         clamp_i32(clamp_i32(tdiv(a, s2), -127, 127), 0, 127));
   }
 
   std::vector<float> logits(net.num_classes);
   for (int c = 0; c < net.num_classes; ++c) {
     int32_t a = net.out_b[c] +
-                simd::dot_i16_i8(h2.data(), &net.out_w[size_t(c) * l3], l3);
+                simd::dot_u7_i8(h2.data(), &net.out_w[size_t(c) * l3], l3);
     logits[c] = static_cast<float>(a) / net.out_scale;
   }
   return logits;
