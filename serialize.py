@@ -9,9 +9,20 @@ is verified by re-reading it and running one bit-exact simulated inference.
 """
 
 import argparse
+import os
 import sys
 from pathlib import Path
 from typing import Tuple
+
+# Serialization is deterministic host-side integer math (round/clip/pack)
+# — run it on the CPU backend so it never touches (or waits on, or
+# contends for) the single-tenant TPU. Override with NV_PLATFORM if a
+# device run is ever wanted; results are platform-independent either way
+# (the bit-parity suite pins them).
+os.environ.setdefault("NV_PLATFORM", "cpu")
+import jax
+
+jax.config.update("jax_platforms", os.environ["NV_PLATFORM"])
 
 import numpy as np
 
