@@ -25,43 +25,26 @@ physically impossible numbers must never ship again.
 """
 
 import json
-import os
 import sys
 import time
 
+# Fail fast (one diagnostic line, DISTINCT metric name so no collector
+# mistakes it for a measurement) when the remote-compile TPU tunnel is
+# unreachable, instead of hanging in jax device init. Runs at import on
+# purpose: the jax import right below is what would hang. Reachable or
+# CPU-configured hosts pass through untouched.
+from nnue_vision_tpu.axon_preflight import tunnel_error
 
-def _preflight_tpu_tunnel() -> None:
-    """Fail fast (one diagnostic JSON line) when the remote-compile TPU
-    tunnel is unreachable, instead of hanging in jax device init.
-
-    The axon backend reaches the chip through a loopback relay
-    (remote_compile endpoint, default 127.0.0.1:8093); if that listener
-    is down — observed once after a client process died mid-compile —
-    `import jax`'s first backend probe blocks for minutes and the bench
-    produces no output at all. A closed TCP connect is a definitive,
-    instant signal, so check it before touching jax."""
-    if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") != "1":
-        return
-    import socket
-
-    host, _, port = os.environ.get(
-        "NV_AXON_TUNNEL_ADDR", "127.0.0.1:8093"
-    ).partition(":")
-    try:
-        socket.create_connection((host, int(port)), timeout=5).close()
-    except OSError as e:
-        print(json.dumps({
-            "metric": "cifar10_nnue_train_images_per_sec_per_chip",
-            "value": 0.0,
-            "unit": "images/s",
-            "vs_baseline": 0.0,
-            "error": f"TPU tunnel unreachable at {host}:{port} ({e}); "
-                     "bench requires the axon relay — not a code failure",
-        }))
-        sys.exit(1)
-
-
-_preflight_tpu_tunnel()
+_tunnel_err = tunnel_error()
+if _tunnel_err is not None:
+    print(json.dumps({
+        "metric": "bench_error",
+        "value": 0.0,
+        "unit": "none",
+        "vs_baseline": 0.0,
+        "error": f"{_tunnel_err}; bench requires the axon relay",
+    }))
+    sys.exit(1)
 
 import jax
 import jax.numpy as jnp

@@ -70,9 +70,11 @@ void test_dots(int n) {
             nv::simd::dot_i16_i8_scalar(xw.data(), w.data(), n),
         "dot_i16_i8 full-range mismatch");
 
-  // u7×i8 fast path: full u7 domain, worst-case saturation stress
-  // (alternating 127·(−127) pairs — the maddubs pair sum must not
-  // saturate), and random draws.
+  // u7×i8 fast path: random draws plus the three saturation extremes —
+  // every maddubs PAIR sum at its positive max (127·127·2 = +32258),
+  // at the engine-range negative max (−32258), and at the absolute
+  // int8 negative max w = −128 (pair sum −32512; still > int16 min, so
+  // the saturating add must stay exact).
   std::uniform_int_distribution<int> du7(0, 127);
   std::vector<uint8_t> xu(n);
   for (auto& v : xu) v = static_cast<uint8_t>(du7(rng));
@@ -80,15 +82,18 @@ void test_dots(int n) {
             nv::simd::dot_u7_i8_scalar(xu.data(), w.data(), n),
         "dot_u7_i8 mismatch");
   std::vector<uint8_t> xmax(n, 127);
-  std::vector<int8_t> wmin(n);
-  for (int i = 0; i < n; ++i) wmin[i] = (i % 2) ? int8_t(-127) : int8_t(127);
-  CHECK(nv::simd::dot_u7_i8(xmax.data(), wmin.data(), n) ==
-            nv::simd::dot_u7_i8_scalar(xmax.data(), wmin.data(), n),
-        "dot_u7_i8 saturation-stress mismatch");
+  std::vector<int8_t> wplus(n, 127);
+  CHECK(nv::simd::dot_u7_i8(xmax.data(), wplus.data(), n) ==
+            nv::simd::dot_u7_i8_scalar(xmax.data(), wplus.data(), n),
+        "dot_u7_i8 positive-extreme mismatch");
   std::vector<int8_t> wminus(n, -127);
   CHECK(nv::simd::dot_u7_i8(xmax.data(), wminus.data(), n) ==
             nv::simd::dot_u7_i8_scalar(xmax.data(), wminus.data(), n),
-        "dot_u7_i8 all-negative-extreme mismatch");
+        "dot_u7_i8 negative-extreme mismatch");
+  std::vector<int8_t> wmin128(n, -128);
+  CHECK(nv::simd::dot_u7_i8(xmax.data(), wmin128.data(), n) ==
+            nv::simd::dot_u7_i8_scalar(xmax.data(), wmin128.data(), n),
+        "dot_u7_i8 w=-128 extreme mismatch");
 }
 
 void test_madd(int n) {

@@ -14,16 +14,6 @@ import sys
 from pathlib import Path
 from typing import Tuple
 
-# Serialization is deterministic host-side integer math (round/clip/pack)
-# — run it on the CPU backend so it never touches (or waits on, or
-# contends for) the single-tenant TPU. Override with NV_PLATFORM if a
-# device run is ever wanted; results are platform-independent either way
-# (the bit-parity suite pins them).
-os.environ.setdefault("NV_PLATFORM", "cpu")
-import jax
-
-jax.config.update("jax_platforms", os.environ["NV_PLATFORM"])
-
 import numpy as np
 
 
@@ -169,4 +159,14 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    # Serialization is deterministic host-side integer math (round/clip/
+    # pack) — run the CLI on the CPU backend so it never touches (or
+    # waits on, or contends for) the single-tenant TPU. CLI-only: library
+    # importers (evaluate.py, the distill path) keep their own backend.
+    # Override with NV_PLATFORM for a device run; results are
+    # platform-independent either way (the bit-parity suite pins them).
+    os.environ.setdefault("NV_PLATFORM", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["NV_PLATFORM"])
     sys.exit(main())

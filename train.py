@@ -118,22 +118,17 @@ def main() -> int:
         import jax
 
         jax.config.update("jax_platforms", os.environ["NV_PLATFORM"])
-    elif os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1":
+    else:
         # Training will run on the tunneled TPU: fail fast with a clear
         # message when the remote-compile relay is down instead of
-        # hanging in jax device init (same preflight as bench.py).
-        import socket
+        # hanging in jax device init.
+        from nnue_vision_tpu.axon_preflight import tunnel_error
 
-        host, _, port = os.environ.get(
-            "NV_AXON_TUNNEL_ADDR", "127.0.0.1:8093"
-        ).partition(":")
-        try:
-            socket.create_connection((host, int(port)), timeout=5).close()
-        except OSError as e:
+        err = tunnel_error()
+        if err is not None:
             early_log(
-                f"Error: TPU tunnel unreachable at {host}:{port} ({e}). "
-                "Infrastructure, not a code failure — retry when the relay "
-                "is back, or set NV_PLATFORM=cpu for a CPU run."
+                f"Error: {err}. Retry when the relay is back, or set "
+                "NV_PLATFORM=cpu for a CPU run."
             )
             return 1
 
