@@ -27,6 +27,16 @@ void acc_sub_i16_scalar(int16_t* acc, const int16_t* row, int n);
 void acc_add_i16(int16_t* acc, const int16_t* row, int n);
 void acc_sub_i16(int16_t* acc, const int16_t* row, int n);
 
+// acc[i] += r0[i] + r1[i] + r2[i] + r3[i], int16 wraparound. Four FT
+// rows fused into one pass over the accumulator: 1 acc load + 1 store
+// per vector instead of 4 of each (the accumulator traffic dominates a
+// full refresh at typical densities). Bit-exact vs four acc_add_i16
+// calls — int16 wraparound addition is associative and commutative.
+void acc_add4_i16_scalar(int16_t* acc, const int16_t* r0, const int16_t* r1,
+                         const int16_t* r2, const int16_t* r3, int n);
+void acc_add4_i16(int16_t* acc, const int16_t* r0, const int16_t* r1,
+                  const int16_t* r2, const int16_t* r3, int n);
+
 // sum_i int32(x[i]) * int32(w[i]) — dense-layer rows. x values are
 // engine activations (0..127 after clipped ReLU; int16 covers the
 // pairwise path), w is int8 weights. Exact int32 accumulation.

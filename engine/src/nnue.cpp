@@ -205,10 +205,21 @@ void nnue_refresh_accumulator(const NnueNet& net,
                               std::vector<int16_t>& acc) {
   acc.resize(net.l1);
   for (int i = 0; i < net.l1; ++i) acc[i] = static_cast<int16_t>(net.ft_b[i]);
+  // Fuse four FT rows per accumulator pass (acc traffic dominates the
+  // refresh at typical densities); int16 wraparound addition commutes,
+  // so grouping is bit-exact vs one row at a time.
+  const int16_t* rows[4];
+  int k = 0;
   for (int f : features) {
     if (f < 0 || f >= net.num_features) continue;
-    simd::acc_add_i16(acc.data(), &net.ft_w[size_t(f) * net.l1], net.l1);
+    rows[k++] = &net.ft_w[size_t(f) * net.l1];
+    if (k == 4) {
+      simd::acc_add4_i16(acc.data(), rows[0], rows[1], rows[2], rows[3],
+                         net.l1);
+      k = 0;
+    }
   }
+  for (int i = 0; i < k; ++i) simd::acc_add_i16(acc.data(), rows[i], net.l1);
 }
 
 void nnue_update_accumulator(const NnueNet& net, const std::vector<int>& added,

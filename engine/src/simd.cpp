@@ -57,6 +57,12 @@ int32_t dot_u7_i8_scalar(const uint8_t* x, const int8_t* w, int n) {
   return acc;
 }
 
+void acc_add4_i16_scalar(int16_t* acc, const int16_t* r0, const int16_t* r1,
+                         const int16_t* r2, const int16_t* r3, int n) {
+  for (int i = 0; i < n; ++i)
+    acc[i] = static_cast<int16_t>(acc[i] + r0[i] + r1[i] + r2[i] + r3[i]);
+}
+
 #if defined(__AVX512BW__) && defined(NV_USE_AVX512)
 
 // AVX-512BW: 32-lane int16 accumulator ops and 512-bit madd dots; with
@@ -183,6 +189,21 @@ void madd_i8_i8(int32_t* acc, const int8_t* x, const int8_t* w, int n) {
         acc + i + 16, _mm512_add_epi32(_mm512_loadu_si512(acc + i + 16), hi));
   }
   if (i < n) madd_i8_i8_scalar(acc + i, x + i, w + i, n - i);
+}
+
+void acc_add4_i16(int16_t* acc, const int16_t* r0, const int16_t* r1,
+                  const int16_t* r2, const int16_t* r3, int n) {
+  int i = 0;
+  for (; i + 32 <= n; i += 32) {
+    __m512i a = _mm512_loadu_si512(acc + i);
+    a = _mm512_add_epi16(a, _mm512_loadu_si512(r0 + i));
+    a = _mm512_add_epi16(a, _mm512_loadu_si512(r1 + i));
+    a = _mm512_add_epi16(a, _mm512_loadu_si512(r2 + i));
+    a = _mm512_add_epi16(a, _mm512_loadu_si512(r3 + i));
+    _mm512_storeu_si512(acc + i, a);
+  }
+  if (i < n) acc_add4_i16_scalar(acc + i, r0 + i, r1 + i, r2 + i, r3 + i,
+                                 n - i);
 }
 
 int32_t dot_u7_i8(const uint8_t* x, const int8_t* w, int n) {
@@ -325,6 +346,25 @@ void madd_i8_i8(int32_t* acc, const int8_t* x, const int8_t* w, int n) {
   if (i < n) madd_i8_i8_scalar(acc + i, x + i, w + i, n - i);
 }
 
+void acc_add4_i16(int16_t* acc, const int16_t* r0, const int16_t* r1,
+                  const int16_t* r2, const int16_t* r3, int n) {
+  int i = 0;
+  for (; i + 16 <= n; i += 16) {
+    __m256i a = _mm256_loadu_si256(reinterpret_cast<const __m256i*>(acc + i));
+    a = _mm256_add_epi16(
+        a, _mm256_loadu_si256(reinterpret_cast<const __m256i*>(r0 + i)));
+    a = _mm256_add_epi16(
+        a, _mm256_loadu_si256(reinterpret_cast<const __m256i*>(r1 + i)));
+    a = _mm256_add_epi16(
+        a, _mm256_loadu_si256(reinterpret_cast<const __m256i*>(r2 + i)));
+    a = _mm256_add_epi16(
+        a, _mm256_loadu_si256(reinterpret_cast<const __m256i*>(r3 + i)));
+    _mm256_storeu_si256(reinterpret_cast<__m256i*>(acc + i), a);
+  }
+  if (i < n) acc_add4_i16_scalar(acc + i, r0 + i, r1 + i, r2 + i, r3 + i,
+                                 n - i);
+}
+
 int32_t dot_u7_i8(const uint8_t* x, const int8_t* w, int n) {
   // vpmaddubsw processes 32 bytes/instruction — 2× dot_i16_i8's rate.
   // Exact: u7·i8 pair sums fit int16 (≤ ±32258), so the saturating add
@@ -416,6 +456,21 @@ void madd_i8_i8(int32_t* acc, const int8_t* x, const int8_t* w, int n) {
   if (i < n) madd_i8_i8_scalar(acc + i, x + i, w + i, n - i);
 }
 
+void acc_add4_i16(int16_t* acc, const int16_t* r0, const int16_t* r1,
+                  const int16_t* r2, const int16_t* r3, int n) {
+  int i = 0;
+  for (; i + 8 <= n; i += 8) {
+    int16x8_t a = vld1q_s16(acc + i);
+    a = vaddq_s16(a, vld1q_s16(r0 + i));
+    a = vaddq_s16(a, vld1q_s16(r1 + i));
+    a = vaddq_s16(a, vld1q_s16(r2 + i));
+    a = vaddq_s16(a, vld1q_s16(r3 + i));
+    vst1q_s16(acc + i, a);
+  }
+  if (i < n) acc_add4_i16_scalar(acc + i, r0 + i, r1 + i, r2 + i, r3 + i,
+                                 n - i);
+}
+
 int32_t dot_u7_i8(const uint8_t* x, const int8_t* w, int n) {
   // NEON has no unsigned×signed byte dot; u7 values fit int16 exactly, so
   // widen-and-mlal matches the scalar reference (same rate as dot_i8_i8).
@@ -453,6 +508,10 @@ void madd_i8_i8(int32_t* acc, const int8_t* x, const int8_t* w, int n) {
 }
 int32_t dot_u7_i8(const uint8_t* x, const int8_t* w, int n) {
   return dot_u7_i8_scalar(x, w, n);
+}
+void acc_add4_i16(int16_t* acc, const int16_t* r0, const int16_t* r1,
+                  const int16_t* r2, const int16_t* r3, int n) {
+  acc_add4_i16_scalar(acc, r0, r1, r2, r3, n);
 }
 
 #endif

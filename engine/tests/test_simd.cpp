@@ -51,6 +51,22 @@ void test_acc_ops(int n) {
   nv::simd::acc_sub_i16(a.data(), row.data(), n);
   nv::simd::acc_sub_i16_scalar(b.data(), row.data(), n);
   CHECK(a == b, "acc_sub_i16 mismatch");
+
+  // fused 4-row add: wide vs scalar reference, and scalar reference vs
+  // four single adds (grouping must be bit-exact under wraparound)
+  auto r0 = rand_i16(n, -32768, 32767), r1 = rand_i16(n, -32768, 32767);
+  auto r2 = rand_i16(n, -32768, 32767), r3 = rand_i16(n, -32768, 32767);
+  a = acc0;
+  b = acc0;
+  auto c = acc0;
+  nv::simd::acc_add4_i16(a.data(), r0.data(), r1.data(), r2.data(), r3.data(),
+                         n);
+  nv::simd::acc_add4_i16_scalar(b.data(), r0.data(), r1.data(), r2.data(),
+                                r3.data(), n);
+  CHECK(a == b, "acc_add4_i16 mismatch");
+  for (const auto* r : {&r0, &r1, &r2, &r3})
+    nv::simd::acc_add_i16_scalar(c.data(), r->data(), n);
+  CHECK(a == c, "acc_add4_i16 vs four single adds mismatch");
 }
 
 void test_dots(int n) {
