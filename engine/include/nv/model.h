@@ -118,6 +118,12 @@ struct EtinyBlock {
                                    // is contiguous for both input and
                                    // kernel (vectorized madd)
   std::vector<int8_t> pw_project;  // (out, mid)
+  // Input-major transposes of the pointwise weights: the forward
+  // broadcasts one input value against a contiguous row of OUTPUT
+  // channels (simd::madd_scalar_i8), which keeps vector lanes full at
+  // EtinyNet's tiny channel counts where per-output dots fall to scalar.
+  std::vector<int8_t> pw_expand_t;   // (in, mid)
+  std::vector<int8_t> pw_project_t;  // (mid, out)
 };
 
 struct EtinyNet {

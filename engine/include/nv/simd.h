@@ -59,5 +59,15 @@ int32_t dot_u7_i8(const uint8_t* x, const int8_t* w, int n);
 void madd_i8_i8_scalar(int32_t* acc, const int8_t* x, const int8_t* w, int n);
 void madd_i8_i8(int32_t* acc, const int8_t* x, const int8_t* w, int n);
 
+// acc[i] += x * int32(w[i]) with |x| ≤ 127 — one input value broadcast
+// against a row of weights. This is the pointwise-conv formulation that
+// vectorizes across OUTPUT channels (weights transposed input-major):
+// for the tiny channel counts of EtinyNet blocks (8–32), per-output dot
+// products never reach the 16/32-lane dot kernels' vector bodies and run
+// scalar; the broadcast form keeps full lanes at any input width. The
+// 8-lane SSE tail covers mid/out widths of 8.
+void madd_scalar_i8_scalar(int32_t* acc, int x, const int8_t* w, int n);
+void madd_scalar_i8(int32_t* acc, int x, const int8_t* w, int n);
+
 }  // namespace simd
 }  // namespace nv

@@ -92,8 +92,18 @@ EtinyNet load_etiny(std::istream& in) {
       for (int m = 0; m < blk.mid_c; ++m)
         for (int t = 0; t < 9; ++t)
           blk.dw_t[size_t(t) * blk.mid_c + m] = blk.dw[size_t(m) * 9 + t];
+      blk.pw_expand_t.resize(blk.pw_expand.size());
+      for (int m = 0; m < blk.mid_c; ++m)
+        for (int c = 0; c < blk.in_c; ++c)
+          blk.pw_expand_t[size_t(c) * blk.mid_c + m] =
+              blk.pw_expand[size_t(m) * blk.in_c + c];
       blk.pw_project =
           read_vec<int8_t>(in, size_t(blk.out_c) * blk.mid_c, "pw_project");
+      blk.pw_project_t.resize(blk.pw_project.size());
+      for (int o = 0; o < blk.out_c; ++o)
+        for (int m = 0; m < blk.mid_c; ++m)
+          blk.pw_project_t[size_t(m) * blk.out_c + o] =
+              blk.pw_project[size_t(o) * blk.mid_c + m];
       expect(read_u32(in) == uint32_t(blk.out_c), "pw_project bias count");
       in.seekg(std::streamoff(blk.out_c) * 4, std::ios::cur);  // zero biases
       net.blocks.push_back(std::move(blk));
@@ -158,20 +168,36 @@ std::vector<float> etiny_evaluate(const EtinyNet& net, const float* image,
 
   std::vector<int8_t> expand, dwout, next;
   for (const auto& blk : net.blocks) {
-    // pw-expand + ReLU6 over (ch, cw)
+    // pw-expand + ReLU6 over (ch, cw): broadcast each input channel
+    // against the input-major weight row (vector lanes = mid channels;
+    // per-output dots would run scalar at these widths).
     expand.assign(size_t(ch) * cw * blk.mid_c, 0);
     {
       const int32_t s = static_cast<int32_t>(blk.s_expand);
+      std::vector<int8_t> pet_local;
+      const int8_t* pet = blk.pw_expand_t.data();
+      if (blk.pw_expand_t.size() != blk.pw_expand.size()) {
+        // hand-built nets (tests/embedders) may lack the loader transpose
+        pet_local.resize(blk.pw_expand.size());
+        for (int m = 0; m < blk.mid_c; ++m)
+          for (int c = 0; c < blk.in_c; ++c)
+            pet_local[size_t(c) * blk.mid_c + m] =
+                blk.pw_expand[size_t(m) * blk.in_c + c];
+        pet = pet_local.data();
+      }
+      std::vector<int32_t> acc(blk.mid_c);
       for (int p = 0; p < ch * cw; ++p) {
         const int8_t* px = &cur[size_t(p) * cc];
         int8_t* out = &expand[size_t(p) * blk.mid_c];
-        for (int m = 0; m < blk.mid_c; ++m) {
-          int32_t acc =
-              blk.pw_expand_b[m] +
-              simd::dot_i8_i8(px, &blk.pw_expand[size_t(m) * blk.in_c],
-                              blk.in_c);
-          out[m] = static_cast<int8_t>(clamp_i32(tdiv(acc, s), 0, 6));
+        std::copy(blk.pw_expand_b.begin(), blk.pw_expand_b.end(),
+                  acc.begin());
+        for (int c = 0; c < blk.in_c; ++c) {
+          if (px[c] != 0)
+            simd::madd_scalar_i8(acc.data(), px[c],
+                                 pet + size_t(c) * blk.mid_c, blk.mid_c);
         }
+        for (int m = 0; m < blk.mid_c; ++m)
+          out[m] = static_cast<int8_t>(clamp_i32(tdiv(acc[m], s), 0, 6));
       }
     }
     // depthwise 3x3 + ReLU6 — taps outer, channels inner: for a fixed
@@ -220,18 +246,30 @@ std::vector<float> etiny_evaluate(const EtinyNet& net, const float* image,
     next.assign(size_t(nh) * nw * blk.out_c, 0);
     {
       const int32_t s = static_cast<int32_t>(blk.s_project);
+      std::vector<int8_t> ppt_local;
+      const int8_t* ppt = blk.pw_project_t.data();
+      if (blk.pw_project_t.size() != blk.pw_project.size()) {
+        ppt_local.resize(blk.pw_project.size());
+        for (int o = 0; o < blk.out_c; ++o)
+          for (int m = 0; m < blk.mid_c; ++m)
+            ppt_local[size_t(m) * blk.out_c + o] =
+                blk.pw_project[size_t(o) * blk.mid_c + m];
+        ppt = ppt_local.data();
+      }
+      std::vector<int32_t> acc(blk.out_c);
       for (int p = 0; p < dh * dw_; ++p) {
-        // dwout is ReLU6 output (values 0..6) — inside the u7 domain, so
-        // the unsigned×signed byte dot applies; the reinterpret is
-        // value-preserving for non-negative int8.
-        const uint8_t* px =
-            reinterpret_cast<const uint8_t*>(&dwout[size_t(p) * blk.mid_c]);
+        // dwout is ReLU6 output (0..6): sparse-ish and tiny-valued —
+        // broadcast each nonzero activation against the mid-major weight
+        // row (vector lanes = out channels; see pw-expand note).
+        const int8_t* px = &dwout[size_t(p) * blk.mid_c];
         int8_t* out = &next[size_t(p) * blk.out_c];  // flat placement
-        for (int o = 0; o < blk.out_c; ++o) {
-          const int32_t acc = simd::dot_u7_i8(
-              px, &blk.pw_project[size_t(o) * blk.mid_c], blk.mid_c);
-          out[o] = sat_i8(tdiv(acc, s));
+        std::fill(acc.begin(), acc.end(), 0);
+        for (int m = 0; m < blk.mid_c; ++m) {
+          if (px[m] != 0)
+            simd::madd_scalar_i8(acc.data(), px[m],
+                                 ppt + size_t(m) * blk.out_c, blk.out_c);
         }
+        for (int o = 0; o < blk.out_c; ++o) out[o] = sat_i8(tdiv(acc[o], s));
       }
     }
     cur.swap(next);

@@ -63,6 +63,10 @@ void acc_add4_i16_scalar(int16_t* acc, const int16_t* r0, const int16_t* r1,
     acc[i] = static_cast<int16_t>(acc[i] + r0[i] + r1[i] + r2[i] + r3[i]);
 }
 
+void madd_scalar_i8_scalar(int32_t* acc, int x, const int8_t* w, int n) {
+  for (int i = 0; i < n; ++i) acc[i] += x * int32_t(w[i]);
+}
+
 #if defined(__AVX512BW__) && defined(NV_USE_AVX512)
 
 // AVX-512BW: 32-lane int16 accumulator ops and 512-bit madd dots; with
@@ -189,6 +193,35 @@ void madd_i8_i8(int32_t* acc, const int8_t* x, const int8_t* w, int n) {
         acc + i + 16, _mm512_add_epi32(_mm512_loadu_si512(acc + i + 16), hi));
   }
   if (i < n) madd_i8_i8_scalar(acc + i, x + i, w + i, n - i);
+}
+
+void madd_scalar_i8(int32_t* acc, int x, const int8_t* w, int n) {
+  const __m512i xv = _mm512_set1_epi16(static_cast<short>(x));
+  int i = 0;
+  for (; i + 32 <= n; i += 32) {
+    // |x·w| ≤ 127·127 < 2^15 ⇒ int16 products exact.
+    __m512i wv = _mm512_cvtepi8_epi16(
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(w + i)));
+    __m512i p = _mm512_mullo_epi16(wv, xv);
+    __m512i lo = _mm512_cvtepi16_epi32(_mm512_castsi512_si256(p));
+    __m512i hi = _mm512_cvtepi16_epi32(_mm512_extracti64x4_epi64(p, 1));
+    _mm512_storeu_si512(acc + i,
+                        _mm512_add_epi32(_mm512_loadu_si512(acc + i), lo));
+    _mm512_storeu_si512(
+        acc + i + 16, _mm512_add_epi32(_mm512_loadu_si512(acc + i + 16), hi));
+  }
+  for (; i + 8 <= n; i += 8) {
+    __m128i wv8 =
+        _mm_cvtepi8_epi16(_mm_loadl_epi64(reinterpret_cast<const __m128i*>(w + i)));
+    __m128i p = _mm_mullo_epi16(wv8, _mm_set1_epi16(static_cast<short>(x)));
+    __m128i lo = _mm_cvtepi16_epi32(p);
+    __m128i hi = _mm_cvtepi16_epi32(_mm_srli_si128(p, 8));
+    __m128i* a0 = reinterpret_cast<__m128i*>(acc + i);
+    __m128i* a1 = reinterpret_cast<__m128i*>(acc + i + 4);
+    _mm_storeu_si128(a0, _mm_add_epi32(_mm_loadu_si128(a0), lo));
+    _mm_storeu_si128(a1, _mm_add_epi32(_mm_loadu_si128(a1), hi));
+  }
+  if (i < n) madd_scalar_i8_scalar(acc + i, x, w + i, n - i);
 }
 
 void acc_add4_i16(int16_t* acc, const int16_t* r0, const int16_t* r1,
@@ -346,6 +379,36 @@ void madd_i8_i8(int32_t* acc, const int8_t* x, const int8_t* w, int n) {
   if (i < n) madd_i8_i8_scalar(acc + i, x + i, w + i, n - i);
 }
 
+void madd_scalar_i8(int32_t* acc, int x, const int8_t* w, int n) {
+  const __m256i xv = _mm256_set1_epi16(static_cast<short>(x));
+  int i = 0;
+  for (; i + 16 <= n; i += 16) {
+    // |x·w| ≤ 127·127 < 2^15 ⇒ int16 products exact.
+    __m256i wv = _mm256_cvtepi8_epi16(
+        _mm_loadu_si128(reinterpret_cast<const __m128i*>(w + i)));
+    __m256i p = _mm256_mullo_epi16(wv, xv);
+    __m256i lo = _mm256_cvtepi16_epi32(_mm256_castsi256_si128(p));
+    __m256i hi = _mm256_cvtepi16_epi32(_mm256_extracti128_si256(p, 1));
+    __m256i* a0 = reinterpret_cast<__m256i*>(acc + i);
+    __m256i* a1 = reinterpret_cast<__m256i*>(acc + i + 8);
+    _mm256_storeu_si256(a0, _mm256_add_epi32(_mm256_loadu_si256(a0), lo));
+    _mm256_storeu_si256(a1, _mm256_add_epi32(_mm256_loadu_si256(a1), hi));
+  }
+  // 8-lane SSE chunk: EtinyNet micro stage-1 widths are exactly 8.
+  for (; i + 8 <= n; i += 8) {
+    __m128i wv8 = _mm_cvtepi8_epi16(
+        _mm_loadl_epi64(reinterpret_cast<const __m128i*>(w + i)));
+    __m128i p = _mm_mullo_epi16(wv8, _mm_set1_epi16(static_cast<short>(x)));
+    __m128i lo = _mm_cvtepi16_epi32(p);
+    __m128i hi = _mm_cvtepi16_epi32(_mm_srli_si128(p, 8));
+    __m128i* a0 = reinterpret_cast<__m128i*>(acc + i);
+    __m128i* a1 = reinterpret_cast<__m128i*>(acc + i + 4);
+    _mm_storeu_si128(a0, _mm_add_epi32(_mm_loadu_si128(a0), lo));
+    _mm_storeu_si128(a1, _mm_add_epi32(_mm_loadu_si128(a1), hi));
+  }
+  if (i < n) madd_scalar_i8_scalar(acc + i, x, w + i, n - i);
+}
+
 void acc_add4_i16(int16_t* acc, const int16_t* r0, const int16_t* r1,
                   const int16_t* r2, const int16_t* r3, int n) {
   int i = 0;
@@ -456,6 +519,20 @@ void madd_i8_i8(int32_t* acc, const int8_t* x, const int8_t* w, int n) {
   if (i < n) madd_i8_i8_scalar(acc + i, x + i, w + i, n - i);
 }
 
+void madd_scalar_i8(int32_t* acc, int x, const int8_t* w, int n) {
+  const int16x8_t xv = vdupq_n_s16(static_cast<int16_t>(x));
+  int i = 0;
+  for (; i + 8 <= n; i += 8) {
+    int16x8_t wv = vmovl_s8(vld1_s8(w + i));
+    int16x8_t p = vmulq_s16(wv, xv);  // exact: |x·w| ≤ 16129 < 2^15
+    vst1q_s32(acc + i,
+              vaddq_s32(vld1q_s32(acc + i), vmovl_s16(vget_low_s16(p))));
+    vst1q_s32(acc + i + 4, vaddq_s32(vld1q_s32(acc + i + 4),
+                                     vmovl_s16(vget_high_s16(p))));
+  }
+  if (i < n) madd_scalar_i8_scalar(acc + i, x, w + i, n - i);
+}
+
 void acc_add4_i16(int16_t* acc, const int16_t* r0, const int16_t* r1,
                   const int16_t* r2, const int16_t* r3, int n) {
   int i = 0;
@@ -512,6 +589,9 @@ int32_t dot_u7_i8(const uint8_t* x, const int8_t* w, int n) {
 void acc_add4_i16(int16_t* acc, const int16_t* r0, const int16_t* r1,
                   const int16_t* r2, const int16_t* r3, int n) {
   acc_add4_i16_scalar(acc, r0, r1, r2, r3, n);
+}
+void madd_scalar_i8(int32_t* acc, int x, const int8_t* w, int n) {
+  madd_scalar_i8_scalar(acc, x, w, n);
 }
 
 #endif

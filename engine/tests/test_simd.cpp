@@ -121,6 +121,14 @@ void test_madd(int n) {
   nv::simd::madd_i8_i8(a.data(), x.data(), w.data(), n);
   nv::simd::madd_i8_i8_scalar(b.data(), x.data(), w.data(), n);
   CHECK(a == b, "madd_i8_i8 mismatch");
+
+  // broadcast madd: every scalar value incl. the ±127 extremes
+  for (int xv : {-127, -1, 0, 6, 127}) {
+    for (int i = 0; i < n; ++i) a[i] = b[i];
+    nv::simd::madd_scalar_i8(a.data(), xv, w.data(), n);
+    nv::simd::madd_scalar_i8_scalar(b.data(), xv, w.data(), n);
+    CHECK(a == b, "madd_scalar_i8 mismatch");
+  }
 }
 
 }  // namespace
