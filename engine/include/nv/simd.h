@@ -69,5 +69,13 @@ void madd_i8_i8(int32_t* acc, const int8_t* x, const int8_t* w, int n);
 void madd_scalar_i8_scalar(int32_t* acc, int x, const int8_t* w, int n);
 void madd_scalar_i8(int32_t* acc, int x, const int8_t* w, int n);
 
+// acc[i] += x * int32(w[i]) for ARBITRARY int32 x (32-bit low-half
+// multiply, identical to the scalar int product) — the conv-frontend
+// formulation: quantized inputs are unbounded by the format (trunc of
+// any float·scale), so the int16-product op above cannot be used.
+void madd_scalar_wide_i8_scalar(int32_t* acc, int32_t x, const int8_t* w,
+                                int n);
+void madd_scalar_wide_i8(int32_t* acc, int32_t x, const int8_t* w, int n);
+
 }  // namespace simd
 }  // namespace nv

@@ -140,27 +140,38 @@ std::vector<float> etiny_evaluate(const EtinyNet& net, const float* image,
   {
     const float scale = net.stem_scale;
     const int32_t iscale = static_cast<int32_t>(scale);
+    // One-pass input quantization + tap-major kernel transpose so each
+    // quantized value broadcasts against a contiguous row of output
+    // channels (see nnue.cpp conv_frontend — same reorder, bit-exact).
+    std::vector<int32_t> qin(size_t(h) * w * 3);
+    for (size_t i = 0; i < qin.size(); ++i)
+      qin[i] = quant_input(image[i], scale);
+    std::vector<int8_t> wt(size_t(27) * C0);
+    for (int oc = 0; oc < C0; ++oc)
+      for (int k = 0; k < 27; ++k)
+        wt[size_t(k) * C0 + oc] = net.stem_w[size_t(oc) * 27 + k];
+    std::vector<int32_t> acc(C0);
     for (int y = 0; y < oh; ++y) {
       for (int x = 0; x < ow; ++x) {
         const int by = y * 2 - 1, bx = x * 2 - 1;
-        for (int oc = 0; oc < C0; ++oc) {
-          int32_t acc = net.stem_b[oc];
-          const int8_t* wrow = &net.stem_w[size_t(oc) * 27];
-          for (int ky = 0; ky < 3; ++ky) {
-            const int iy = by + ky;
-            if (iy < 0 || iy >= h) continue;
-            for (int kx = 0; kx < 3; ++kx) {
-              const int ix = bx + kx;
-              if (ix < 0 || ix >= w) continue;
-              const float* px = image + (size_t(iy) * w + ix) * 3;
-              const int8_t* wk = wrow + (ky * 3 + kx) * 3;
-              acc += quant_input(px[0], scale) * wk[0];
-              acc += quant_input(px[1], scale) * wk[1];
-              acc += quant_input(px[2], scale) * wk[2];
+        std::copy(net.stem_b.begin(), net.stem_b.end(), acc.begin());
+        for (int ky = 0; ky < 3; ++ky) {
+          const int iy = by + ky;
+          if (iy < 0 || iy >= h) continue;
+          for (int kx = 0; kx < 3; ++kx) {
+            const int ix = bx + kx;
+            if (ix < 0 || ix >= w) continue;
+            const int32_t* qpx = &qin[(size_t(iy) * w + ix) * 3];
+            const int8_t* wk = &wt[size_t((ky * 3 + kx) * 3) * C0];
+            for (int ci = 0; ci < 3; ++ci) {
+              if (qpx[ci] != 0)
+                simd::madd_scalar_wide_i8(acc.data(), qpx[ci],
+                                          wk + size_t(ci) * C0, C0);
             }
           }
-          cur[(size_t(y) * ow + x) * C0 + oc] = sat_i8(tdiv(acc, iscale));
         }
+        int8_t* out = &cur[(size_t(y) * ow + x) * C0];
+        for (int oc = 0; oc < C0; ++oc) out[oc] = sat_i8(tdiv(acc[oc], iscale));
       }
     }
   }

@@ -162,27 +162,43 @@ void conv_frontend(const NnueNet& net, const float* image, int h, int w,
 
   const float scale = net.conv_scale;
   const int32_t iscale = static_cast<int32_t>(scale);
+
+  // Quantize the input ONCE (the naive loop re-quantizes every pixel per
+  // output channel — 8× redundant float work), and transpose the kernel
+  // tap-major so each quantized value broadcasts against a contiguous
+  // row of output channels (vectorized at any C; per-output dots of
+  // length ≤27 are vector-hostile). Identical integer arithmetic, just
+  // reordered — int32 addition is associative, so bit-exact.
+  std::vector<int32_t> qin(size_t(h) * w * 3);
+  for (size_t i = 0; i < qin.size(); ++i)
+    qin[i] = quant_input(image[i], scale);
+  std::vector<int8_t> wt(size_t(27) * C);
+  for (int oc = 0; oc < C; ++oc)
+    for (int k = 0; k < 27; ++k)
+      wt[size_t(k) * C + oc] = net.conv_w[size_t(oc) * 27 + k];
+
+  std::vector<int32_t> acc(C);
   for (int y = 0; y < oh; ++y) {
     for (int x = 0; x < ow; ++x) {
       const int by = y * stride - 1, bx = x * stride - 1;
-      for (int oc = 0; oc < C; ++oc) {
-        int32_t acc = net.conv_b[oc];
-        const int8_t* wrow = &net.conv_w[size_t(oc) * 27];
-        for (int ky = 0; ky < 3; ++ky) {
-          const int iy = by + ky;
-          if (iy < 0 || iy >= h) continue;
-          for (int kx = 0; kx < 3; ++kx) {
-            const int ix = bx + kx;
-            if (ix < 0 || ix >= w) continue;
-            const float* px = image + (size_t(iy) * w + ix) * 3;
-            const int8_t* wk = wrow + (ky * 3 + kx) * 3;
-            acc += quant_input(px[0], scale) * wk[0];
-            acc += quant_input(px[1], scale) * wk[1];
-            acc += quant_input(px[2], scale) * wk[2];
+      std::copy(net.conv_b.begin(), net.conv_b.end(), acc.begin());
+      for (int ky = 0; ky < 3; ++ky) {
+        const int iy = by + ky;
+        if (iy < 0 || iy >= h) continue;
+        for (int kx = 0; kx < 3; ++kx) {
+          const int ix = bx + kx;
+          if (ix < 0 || ix >= w) continue;
+          const int32_t* qpx = &qin[(size_t(iy) * w + ix) * 3];
+          const int8_t* wk = &wt[size_t((ky * 3 + kx) * 3) * C];
+          for (int ci = 0; ci < 3; ++ci) {
+            if (qpx[ci] != 0)
+              simd::madd_scalar_wide_i8(acc.data(), qpx[ci],
+                                        wk + size_t(ci) * C, C);
           }
         }
-        grid_buf[(size_t(y) * ow + x) * C + oc] = sat_i8(tdiv(acc, iscale));
       }
+      int8_t* out = &grid_buf[(size_t(y) * ow + x) * C];
+      for (int oc = 0; oc < C; ++oc) out[oc] = sat_i8(tdiv(acc[oc], iscale));
     }
   }
 }

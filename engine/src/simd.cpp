@@ -67,6 +67,11 @@ void madd_scalar_i8_scalar(int32_t* acc, int x, const int8_t* w, int n) {
   for (int i = 0; i < n; ++i) acc[i] += x * int32_t(w[i]);
 }
 
+void madd_scalar_wide_i8_scalar(int32_t* acc, int32_t x, const int8_t* w,
+                                int n) {
+  for (int i = 0; i < n; ++i) acc[i] += x * int32_t(w[i]);
+}
+
 #if defined(__AVX512BW__) && defined(NV_USE_AVX512)
 
 // AVX-512BW: 32-lane int16 accumulator ops and 512-bit madd dots; with
@@ -193,6 +198,27 @@ void madd_i8_i8(int32_t* acc, const int8_t* x, const int8_t* w, int n) {
         acc + i + 16, _mm512_add_epi32(_mm512_loadu_si512(acc + i + 16), hi));
   }
   if (i < n) madd_i8_i8_scalar(acc + i, x + i, w + i, n - i);
+}
+
+void madd_scalar_wide_i8(int32_t* acc, int32_t x, const int8_t* w, int n) {
+  const __m512i xv = _mm512_set1_epi32(x);
+  int i = 0;
+  for (; i + 16 <= n; i += 16) {
+    __m512i wv = _mm512_cvtepi8_epi32(
+        _mm_loadu_si128(reinterpret_cast<const __m128i*>(w + i)));
+    _mm512_storeu_si512(
+        acc + i, _mm512_add_epi32(_mm512_loadu_si512(acc + i),
+                                  _mm512_mullo_epi32(wv, xv)));
+  }
+  for (; i + 8 <= n; i += 8) {
+    __m256i wv = _mm256_cvtepi8_epi32(
+        _mm_loadl_epi64(reinterpret_cast<const __m128i*>(w + i)));
+    __m256i* a = reinterpret_cast<__m256i*>(acc + i);
+    _mm256_storeu_si256(
+        a, _mm256_add_epi32(_mm256_loadu_si256(a),
+                            _mm256_mullo_epi32(wv, _mm256_set1_epi32(x))));
+  }
+  if (i < n) madd_scalar_wide_i8_scalar(acc + i, x, w + i, n - i);
 }
 
 void madd_scalar_i8(int32_t* acc, int x, const int8_t* w, int n) {
@@ -394,6 +420,19 @@ void madd_i8_i8(int32_t* acc, const int8_t* x, const int8_t* w, int n) {
   if (i < n) madd_i8_i8_scalar(acc + i, x + i, w + i, n - i);
 }
 
+void madd_scalar_wide_i8(int32_t* acc, int32_t x, const int8_t* w, int n) {
+  const __m256i xv = _mm256_set1_epi32(x);
+  int i = 0;
+  for (; i + 8 <= n; i += 8) {
+    __m256i wv = _mm256_cvtepi8_epi32(
+        _mm_loadl_epi64(reinterpret_cast<const __m128i*>(w + i)));
+    __m256i* a = reinterpret_cast<__m256i*>(acc + i);
+    _mm256_storeu_si256(a, _mm256_add_epi32(_mm256_loadu_si256(a),
+                                            _mm256_mullo_epi32(wv, xv)));
+  }
+  if (i < n) madd_scalar_wide_i8_scalar(acc + i, x, w + i, n - i);
+}
+
 void madd_scalar_i8(int32_t* acc, int x, const int8_t* w, int n) {
   const __m256i xv = _mm256_set1_epi16(static_cast<short>(x));
   int i = 0;
@@ -534,6 +573,19 @@ void madd_i8_i8(int32_t* acc, const int8_t* x, const int8_t* w, int n) {
   if (i < n) madd_i8_i8_scalar(acc + i, x + i, w + i, n - i);
 }
 
+void madd_scalar_wide_i8(int32_t* acc, int32_t x, const int8_t* w, int n) {
+  const int32x4_t xv = vdupq_n_s32(x);
+  int i = 0;
+  for (; i + 8 <= n; i += 8) {
+    int16x8_t wv = vmovl_s8(vld1_s8(w + i));
+    int32x4_t lo = vmulq_s32(vmovl_s16(vget_low_s16(wv)), xv);
+    int32x4_t hi = vmulq_s32(vmovl_s16(vget_high_s16(wv)), xv);
+    vst1q_s32(acc + i, vaddq_s32(vld1q_s32(acc + i), lo));
+    vst1q_s32(acc + i + 4, vaddq_s32(vld1q_s32(acc + i + 4), hi));
+  }
+  if (i < n) madd_scalar_wide_i8_scalar(acc + i, x, w + i, n - i);
+}
+
 void madd_scalar_i8(int32_t* acc, int x, const int8_t* w, int n) {
   const int16x8_t xv = vdupq_n_s16(static_cast<int16_t>(x));
   int i = 0;
@@ -607,6 +659,9 @@ void acc_add4_i16(int16_t* acc, const int16_t* r0, const int16_t* r1,
 }
 void madd_scalar_i8(int32_t* acc, int x, const int8_t* w, int n) {
   madd_scalar_i8_scalar(acc, x, w, n);
+}
+void madd_scalar_wide_i8(int32_t* acc, int32_t x, const int8_t* w, int n) {
+  madd_scalar_wide_i8_scalar(acc, x, w, n);
 }
 
 #endif

@@ -129,6 +129,14 @@ void test_madd(int n) {
     nv::simd::madd_scalar_i8_scalar(b.data(), xv, w.data(), n);
     CHECK(a == b, "madd_scalar_i8 mismatch");
   }
+  // wide broadcast madd: arbitrary int32 multipliers (quantized conv
+  // inputs are unbounded), incl. values far outside int16
+  for (int32_t xv : {-100000, -193, 0, 127, 300, 1 << 20}) {
+    for (int i = 0; i < n; ++i) a[i] = b[i];
+    nv::simd::madd_scalar_wide_i8(a.data(), xv, w.data(), n);
+    nv::simd::madd_scalar_wide_i8_scalar(b.data(), xv, w.data(), n);
+    CHECK(a == b, "madd_scalar_wide_i8 mismatch");
+  }
 }
 
 }  // namespace
