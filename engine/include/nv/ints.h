@@ -28,4 +28,14 @@ inline int32_t quant_input(float x, float scale) {
   return static_cast<int32_t>(x * scale);
 }
 
+// dst[(c)*rows + r] = src[(r)*cols + c] — the (rows, cols) → (cols, rows)
+// int8 transpose used to build the inner-loop-contiguous weight layouts
+// (tap-major depthwise kernels, input-major pointwise weights).
+inline void transpose_i8(const int8_t* src, int rows, int cols,
+                         int8_t* dst) {
+  for (int r = 0; r < rows; ++r)
+    for (int c = 0; c < cols; ++c) dst[static_cast<size_t>(c) * rows + r] =
+        src[static_cast<size_t>(r) * cols + c];
+}
+
 }  // namespace nv

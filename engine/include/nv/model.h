@@ -29,6 +29,10 @@ struct NnueNet {
   int conv_out_channels = 0;
   float conv_scale = 64.f;
   std::vector<int8_t> conv_w;
+  std::vector<int8_t> conv_w_t;  // (27, out) tap-major transpose — the
+                                 // broadcast conv loop's layout; built by
+                                 // the loader (in-forward fallback for
+                                 // hand-built nets)
   std::vector<int32_t> conv_b;
   // derived grid
   int grid = 0;
@@ -139,6 +143,7 @@ struct EtinyNet {
   float stem_scale = 64.f;
   int stem_out_channels = 0;
   std::vector<int8_t> stem_w;
+  std::vector<int8_t> stem_w_t;  // (27, out) tap-major (see conv_w_t)
   std::vector<int32_t> stem_b;
   std::vector<EtinyBlock> blocks;
   // classifier

@@ -73,6 +73,9 @@ EtinyNet load_etiny(std::istream& in) {
     if (tag == 0) {
       read_conv_payload_e(in, net.stem_scale, net.stem_out_channels,
                           net.stem_w, net.stem_b);
+      net.stem_w_t.resize(net.stem_w.size());
+      transpose_i8(net.stem_w.data(), net.stem_out_channels, 27,
+                   net.stem_w_t.data());
     } else if (tag == 1 || tag == 2) {
       EtinyBlock blk;
       blk.dense = (tag == 2);
@@ -89,21 +92,15 @@ EtinyNet load_etiny(std::istream& in) {
       blk.pw_expand_b = read_vec<int32_t>(in, blk.mid_c, "pw_expand bias");
       blk.dw = read_vec<int8_t>(in, size_t(blk.mid_c) * 9, "dw weights");
       blk.dw_t.resize(blk.dw.size());
-      for (int m = 0; m < blk.mid_c; ++m)
-        for (int t = 0; t < 9; ++t)
-          blk.dw_t[size_t(t) * blk.mid_c + m] = blk.dw[size_t(m) * 9 + t];
+      transpose_i8(blk.dw.data(), blk.mid_c, 9, blk.dw_t.data());
       blk.pw_expand_t.resize(blk.pw_expand.size());
-      for (int m = 0; m < blk.mid_c; ++m)
-        for (int c = 0; c < blk.in_c; ++c)
-          blk.pw_expand_t[size_t(c) * blk.mid_c + m] =
-              blk.pw_expand[size_t(m) * blk.in_c + c];
+      transpose_i8(blk.pw_expand.data(), blk.mid_c, blk.in_c,
+                   blk.pw_expand_t.data());
       blk.pw_project =
           read_vec<int8_t>(in, size_t(blk.out_c) * blk.mid_c, "pw_project");
       blk.pw_project_t.resize(blk.pw_project.size());
-      for (int o = 0; o < blk.out_c; ++o)
-        for (int m = 0; m < blk.mid_c; ++m)
-          blk.pw_project_t[size_t(m) * blk.out_c + o] =
-              blk.pw_project[size_t(o) * blk.mid_c + m];
+      transpose_i8(blk.pw_project.data(), blk.out_c, blk.mid_c,
+                   blk.pw_project_t.data());
       expect(read_u32(in) == uint32_t(blk.out_c), "pw_project bias count");
       in.seekg(std::streamoff(blk.out_c) * 4, std::ios::cur);  // zero biases
       net.blocks.push_back(std::move(blk));
@@ -146,10 +143,13 @@ std::vector<float> etiny_evaluate(const EtinyNet& net, const float* image,
     std::vector<int32_t> qin(size_t(h) * w * 3);
     for (size_t i = 0; i < qin.size(); ++i)
       qin[i] = quant_input(image[i], scale);
-    std::vector<int8_t> wt(size_t(27) * C0);
-    for (int oc = 0; oc < C0; ++oc)
-      for (int k = 0; k < 27; ++k)
-        wt[size_t(k) * C0 + oc] = net.stem_w[size_t(oc) * 27 + k];
+    std::vector<int8_t> wt_local;
+    const int8_t* wt = net.stem_w_t.data();
+    if (net.stem_w_t.size() != net.stem_w.size()) {
+      wt_local.resize(net.stem_w.size());
+      transpose_i8(net.stem_w.data(), C0, 27, wt_local.data());
+      wt = wt_local.data();
+    }
     std::vector<int32_t> acc(C0);
     for (int y = 0; y < oh; ++y) {
       for (int x = 0; x < ow; ++x) {
@@ -162,7 +162,7 @@ std::vector<float> etiny_evaluate(const EtinyNet& net, const float* image,
             const int ix = bx + kx;
             if (ix < 0 || ix >= w) continue;
             const int32_t* qpx = &qin[(size_t(iy) * w + ix) * 3];
-            const int8_t* wk = &wt[size_t((ky * 3 + kx) * 3) * C0];
+            const int8_t* wk = wt + size_t((ky * 3 + kx) * 3) * C0;
             for (int ci = 0; ci < 3; ++ci) {
               if (qpx[ci] != 0)
                 simd::madd_scalar_wide_i8(acc.data(), qpx[ci],
@@ -190,10 +190,8 @@ std::vector<float> etiny_evaluate(const EtinyNet& net, const float* image,
       if (blk.pw_expand_t.size() != blk.pw_expand.size()) {
         // hand-built nets (tests/embedders) may lack the loader transpose
         pet_local.resize(blk.pw_expand.size());
-        for (int m = 0; m < blk.mid_c; ++m)
-          for (int c = 0; c < blk.in_c; ++c)
-            pet_local[size_t(c) * blk.mid_c + m] =
-                blk.pw_expand[size_t(m) * blk.in_c + c];
+        transpose_i8(blk.pw_expand.data(), blk.mid_c, blk.in_c,
+                     pet_local.data());
         pet = pet_local.data();
       }
       std::vector<int32_t> acc(blk.mid_c);
@@ -225,9 +223,7 @@ std::vector<float> etiny_evaluate(const EtinyNet& net, const float* image,
       const int8_t* dwt = blk.dw_t.data();
       if (blk.dw_t.size() != blk.dw.size()) {
         dwt_local.resize(blk.dw.size());
-        for (int m = 0; m < blk.mid_c; ++m)
-          for (int t = 0; t < 9; ++t)
-            dwt_local[size_t(t) * blk.mid_c + m] = blk.dw[size_t(m) * 9 + t];
+        transpose_i8(blk.dw.data(), blk.mid_c, 9, dwt_local.data());
         dwt = dwt_local.data();
       }
       std::vector<int32_t> acc(blk.mid_c);
@@ -261,10 +257,8 @@ std::vector<float> etiny_evaluate(const EtinyNet& net, const float* image,
       const int8_t* ppt = blk.pw_project_t.data();
       if (blk.pw_project_t.size() != blk.pw_project.size()) {
         ppt_local.resize(blk.pw_project.size());
-        for (int o = 0; o < blk.out_c; ++o)
-          for (int m = 0; m < blk.mid_c; ++m)
-            ppt_local[size_t(m) * blk.out_c + o] =
-                blk.pw_project[size_t(o) * blk.mid_c + m];
+        transpose_i8(blk.pw_project.data(), blk.out_c, blk.mid_c,
+                     ppt_local.data());
         ppt = ppt_local.data();
       }
       std::vector<int32_t> acc(blk.out_c);

@@ -74,6 +74,9 @@ NnueNet load_nnue(std::istream& in) {
 
   read_conv_payload(in, net.conv_scale, net.conv_out_channels, net.conv_w,
                     net.conv_b);
+  net.conv_w_t.resize(net.conv_w.size());
+  transpose_i8(net.conv_w.data(), net.conv_out_channels, 27,
+               net.conv_w_t.data());
   expect(net.conv_out_channels > 0 &&
              net.num_features % net.conv_out_channels == 0,
          "features not divisible by conv channels");
@@ -163,19 +166,30 @@ void conv_frontend(const NnueNet& net, const float* image, int h, int w,
   const float scale = net.conv_scale;
   const int32_t iscale = static_cast<int32_t>(scale);
 
+  // The engine derives the stride from h only (upstream quirk mirrored by
+  // nnue_conv_stride); a wider-than-tall image would make ow exceed the
+  // grid and write past the buffer — reject like the JAX sim does.
+  if (size_t(oh) * ow * C > grid_buf.size())
+    fail("conv output exceeds the feature grid (unsupported image "
+         "geometry; the engine stride rule assumes w <= h)");
+
   // Quantize the input ONCE (the naive loop re-quantizes every pixel per
-  // output channel — 8× redundant float work), and transpose the kernel
-  // tap-major so each quantized value broadcasts against a contiguous
-  // row of output channels (vectorized at any C; per-output dots of
-  // length ≤27 are vector-hostile). Identical integer arithmetic, just
-  // reordered — int32 addition is associative, so bit-exact.
+  // output channel — 8× redundant float work); the kernel is tap-major
+  // (conv_w_t, loader-built) so each quantized value broadcasts against
+  // a contiguous row of output channels (vectorized at any C; per-output
+  // dots of length ≤27 are vector-hostile). Identical integer
+  // arithmetic, just reordered — int32 addition is associative.
   std::vector<int32_t> qin(size_t(h) * w * 3);
   for (size_t i = 0; i < qin.size(); ++i)
     qin[i] = quant_input(image[i], scale);
-  std::vector<int8_t> wt(size_t(27) * C);
-  for (int oc = 0; oc < C; ++oc)
-    for (int k = 0; k < 27; ++k)
-      wt[size_t(k) * C + oc] = net.conv_w[size_t(oc) * 27 + k];
+  std::vector<int8_t> wt_local;
+  const int8_t* wt = net.conv_w_t.data();
+  if (net.conv_w_t.size() != net.conv_w.size()) {
+    // hand-built nets may lack the loader transpose
+    wt_local.resize(net.conv_w.size());
+    transpose_i8(net.conv_w.data(), C, 27, wt_local.data());
+    wt = wt_local.data();
+  }
 
   std::vector<int32_t> acc(C);
   for (int y = 0; y < oh; ++y) {
@@ -189,7 +203,7 @@ void conv_frontend(const NnueNet& net, const float* image, int h, int w,
           const int ix = bx + kx;
           if (ix < 0 || ix >= w) continue;
           const int32_t* qpx = &qin[(size_t(iy) * w + ix) * 3];
-          const int8_t* wk = &wt[size_t((ky * 3 + kx) * 3) * C];
+          const int8_t* wk = wt + size_t((ky * 3 + kx) * 3) * C;
           for (int ci = 0; ci < 3; ++ci) {
             if (qpx[ci] != 0)
               simd::madd_scalar_wide_i8(acc.data(), qpx[ci],

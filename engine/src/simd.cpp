@@ -197,6 +197,20 @@ void madd_i8_i8(int32_t* acc, const int8_t* x, const int8_t* w, int n) {
     _mm512_storeu_si512(
         acc + i + 16, _mm512_add_epi32(_mm512_loadu_si512(acc + i + 16), hi));
   }
+  // 8-lane SSE chunk (width-8 depthwise stages) — mirrors the AVX2 path.
+  for (; i + 8 <= n; i += 8) {
+    __m128i xv8 = _mm_cvtepi8_epi16(
+        _mm_loadl_epi64(reinterpret_cast<const __m128i*>(x + i)));
+    __m128i wv8 = _mm_cvtepi8_epi16(
+        _mm_loadl_epi64(reinterpret_cast<const __m128i*>(w + i)));
+    __m128i p = _mm_mullo_epi16(xv8, wv8);
+    __m128i plo = _mm_cvtepi16_epi32(p);
+    __m128i phi = _mm_cvtepi16_epi32(_mm_srli_si128(p, 8));
+    __m128i* a0 = reinterpret_cast<__m128i*>(acc + i);
+    __m128i* a1 = reinterpret_cast<__m128i*>(acc + i + 4);
+    _mm_storeu_si128(a0, _mm_add_epi32(_mm_loadu_si128(a0), plo));
+    _mm_storeu_si128(a1, _mm_add_epi32(_mm_loadu_si128(a1), phi));
+  }
   if (i < n) madd_i8_i8_scalar(acc + i, x + i, w + i, n - i);
 }
 

@@ -34,8 +34,11 @@ def tunnel_error(timeout: float = 5.0) -> str | None:
     try:
         port = int(port_s)
     except ValueError:
-        host, _, port_s = _DEFAULT_ADDR.rpartition(":")
-        port = int(port_s)
+        # malformed/missing port: keep the user's HOST (falling back to
+        # the default host too could probe a local listener while the
+        # real tunnel host is down) and default only the port
+        host = host or addr
+        port = int(_DEFAULT_ADDR.rpartition(":")[2])
     if not host:
         host = "127.0.0.1"
     try:

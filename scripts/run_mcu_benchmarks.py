@@ -12,11 +12,23 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from dataclasses import asdict
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# MCU analysis is host-side math — pin the CPU backend (in-process,
+# before any jax import; a shell env var alone does not win on hosts
+# that pin JAX_PLATFORMS=axon) so the script neither contends for the
+# single-tenant TPU nor hangs when the TPU tunnel is down. Previously
+# inherited implicitly from serialize.py's module-level pin, which moved
+# into serialize's __main__ path.
+os.environ.setdefault("NV_PLATFORM", "cpu")
+import jax
+
+jax.config.update("jax_platforms", os.environ["NV_PLATFORM"])
 
 
 def parse_arguments(argv=None):
