@@ -28,14 +28,17 @@ import json
 import sys
 import time
 
-# Fail fast (one diagnostic line, DISTINCT metric name so no collector
-# mistakes it for a measurement) when the remote-compile TPU tunnel is
-# unreachable, instead of hanging in jax device init. Runs at import on
-# purpose: the jax import right below is what would hang. Reachable or
-# CPU-configured hosts pass through untouched.
-from nnue_vision_tpu.axon_preflight import tunnel_error
+# Preflight the remote-compile TPU tunnel BEFORE importing jax (the jax
+# import below is what would otherwise hang in device init). A relay
+# flap erased round 3's artifact, so this now retries over a bounded
+# window (default 10 attempts / 5 min, NV_TUNNEL_RETRY_S /
+# NV_TUNNEL_RETRY_ATTEMPTS) with progress on stderr, and only then
+# emits one diagnostic line (DISTINCT metric name so no collector
+# mistakes it for a measurement). Reachable or CPU-configured hosts
+# pass through untouched.
+from nnue_vision_tpu.axon_preflight import wait_for_tunnel
 
-_tunnel_err = tunnel_error()
+_tunnel_err = wait_for_tunnel()
 if _tunnel_err is not None:
     print(json.dumps({
         "metric": "bench_error",

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import os
 import socket
+import sys
+import time
 
 _DEFAULT_ADDR = "127.0.0.1:8093"
 
@@ -49,3 +51,51 @@ def tunnel_error(timeout: float = 5.0) -> str | None:
             "infrastructure, not a code failure"
         )
     return None
+
+
+def wait_for_tunnel(window_s: float | None = None,
+                    attempts: int | None = None) -> str | None:
+    """Retry the reachability probe over a bounded window before failing.
+
+    A relay flap (the listener briefly down while the host-side
+    firecracker process restarts) erased round 3's benchmark artifact:
+    bench.py probed once, got ECONNREFUSED, and exited. This rides
+    through a flap: probe, and on failure retry with a fixed cadence
+    until either the window or the attempt budget is exhausted. Progress
+    goes to STDERR (one line per failed attempt) so the caller's stdout
+    stays a single machine-readable JSON line.
+
+    Defaults: 10 attempts spread over 300 s (overridable via
+    `NV_TUNNEL_RETRY_S` / `NV_TUNNEL_RETRY_ATTEMPTS`; set either to 0
+    for the old one-shot behavior). Returns None as soon as a probe
+    succeeds, else the LAST error string.
+    """
+    if window_s is None:
+        window_s = float(os.environ.get("NV_TUNNEL_RETRY_S", "300"))
+    if attempts is None:
+        attempts = int(os.environ.get("NV_TUNNEL_RETRY_ATTEMPTS", "10"))
+    err = tunnel_error()
+    if err is None or window_s <= 0 or attempts <= 0:
+        return err
+    deadline = time.monotonic() + window_s
+    # First attempt already failed; spread the remaining ones evenly.
+    pause = window_s / max(attempts - 1, 1)
+    for i in range(2, attempts + 1):
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            break
+        print(
+            f"# tunnel preflight attempt {i - 1}/{attempts} failed ({err}); "
+            f"retrying in {min(pause, remaining):.0f}s "
+            f"({remaining:.0f}s left in window)",
+            file=sys.stderr, flush=True,
+        )
+        time.sleep(min(pause, remaining))
+        err = tunnel_error()
+        if err is None:
+            print(
+                f"# tunnel preflight recovered on attempt {i}/{attempts}",
+                file=sys.stderr, flush=True,
+            )
+            return None
+    return err
