@@ -110,13 +110,35 @@ def load_checkpoint_auto(path: Path) -> Tuple[str, dict, object, object]:
     return model_type, params, batch_stats, cfg
 
 
+ETINY_TRAP_WARNING = (
+    "WARNING: this EtinyNet checkpoint was NOT trained engine_friendly "
+    "(config lacks engine_friendly=True). The .etiny format hard-caps "
+    "every internal activation at 7 integer levels; a standard-trained "
+    "model deploys at ~random accuracy through the engine (measured "
+    "0.078 on a task it scored 1.000 in float — PARITY.md). Retrain "
+    "with an engine_friendly QAT config (e.g. "
+    "config/train_etinynet_hard.py), or pass --force to silence this "
+    "warning if shipping the artifact is intentional."
+)
+
+
 def serialize_checkpoint(input_path: Path, output_path: Path,
-                         model_type: str = "auto") -> Path:
+                         model_type: str = "auto",
+                         force: bool = False) -> Path:
     from nnue_vision_tpu.formats import read_etiny, read_nnue, write_etiny, write_nnue
 
     detected, params, batch_stats, cfg = load_checkpoint_auto(input_path)
     if model_type != "auto" and model_type != detected:
         detected = model_type
+
+    if (detected == "etinynet" and not force
+            and not getattr(cfg, "engine_friendly", False)):
+        # Deployment trap (VERDICT r3 weak #5): the format silently
+        # destroys standard-trained EtinyNets. Upstream ships the same
+        # trap with no warning at all (its serializer has no QAT
+        # concept, reference serialize.py:356). The file still writes —
+        # measuring the trap is a legitimate use — but never silently.
+        print(ETINY_TRAP_WARNING, file=sys.stderr, flush=True)
 
     if detected == "nnue":
         from nnue_vision_tpu.models.nnue import nnue_quantize
@@ -149,11 +171,15 @@ def main() -> int:
                         default="auto")
     parser.add_argument("--features", type=str,
                         help="(accepted for interface parity; auto-detected)")
+    parser.add_argument("--force", action="store_true",
+                        help="silence the non-engine_friendly EtinyNet "
+                             "deployment warning")
     args = parser.parse_args()
 
     if not args.input.exists():
         raise FileNotFoundError(f"Input file not found: {args.input}")
-    serialize_checkpoint(args.input, args.output, args.model_type)
+    serialize_checkpoint(args.input, args.output, args.model_type,
+                         force=args.force)
     print("Serialization complete!")
     return 0
 

@@ -64,6 +64,39 @@ def test_serialize_cli_etinynet(tmp_path):
     assert q.classifier.scale == 1024.0
 
 
+def test_serialize_warns_on_non_engine_friendly_etinynet(tmp_path, capsys):
+    """Deployment-trap guardrail (VERDICT r3 #5): serializing an EtinyNet
+    trained WITHOUT engine_friendly must warn loudly (the .etiny format's
+    7-level activations deploy such models at ~0.078 accuracy), citing
+    the measured number; --force silences it; engine_friendly checkpoints
+    never warn."""
+    from nnue_vision_tpu.models.etinynet import EtinyNetConfig, etinynet_init
+    from nnue_vision_tpu.training.checkpoint import save_checkpoint
+    from serialize import serialize_checkpoint
+
+    def make_ckpt(name, **cfg_kwargs):
+        cfg = EtinyNetConfig(variant="micro", num_classes=10, input_size=32,
+                             **cfg_kwargs)
+        params, stats = etinynet_init(jax.random.PRNGKey(0), cfg)
+        ckpt = tmp_path / name
+        save_checkpoint(ckpt, model_type="etinynet", model_config=cfg,
+                        params=params, batch_stats=stats, epoch=0, metrics={})
+        return ckpt
+
+    trap = make_ckpt("trap.ckpt")  # engine_friendly defaults False
+    out = serialize_checkpoint(trap, tmp_path / "trap.etiny")
+    assert out.exists()  # still writes — measuring the trap is legitimate
+    err = capsys.readouterr().err
+    assert "WARNING" in err and "engine_friendly" in err and "0.078" in err
+
+    serialize_checkpoint(trap, tmp_path / "trap2.etiny", force=True)
+    assert "WARNING" not in capsys.readouterr().err
+
+    safe = make_ckpt("safe.ckpt", engine_friendly=True)
+    serialize_checkpoint(safe, tmp_path / "safe.etiny")
+    assert "WARNING" not in capsys.readouterr().err
+
+
 def test_serialize_detects_model_type(tmp_path):
     from serialize import detect_model_type
 
