@@ -90,14 +90,34 @@ def _backend_dryrun(spec: LaunchSpec, script: str) -> Dict[str, str]:
     return {"instance": spec.name, "state": "dryrun"}
 
 
-def _backend_gcloud(spec: LaunchSpec, script: str) -> Dict[str, str]:
-    cmd = [
+def gcloud_create_argv(spec: LaunchSpec, script: str) -> list[str]:
+    """The exact `gcloud compute tpus tpu-vm create` argv.
+
+    Pure so tests can pin it against a golden (no real provider on this
+    host — the golden is the drift detector for the TPU-VM CLI shape:
+    https://cloud.google.com/sdk/gcloud/reference/compute/tpus/tpu-vm/create).
+    """
+    return [
         "gcloud", "compute", "tpus", "tpu-vm", "create", spec.name,
         f"--zone={spec.zone}", f"--accelerator-type={spec.accelerator}",
         f"--version={DEFAULT_IMAGE}",
         f"--metadata=startup-script={script}",
     ]
-    res = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+
+
+def gcloud_delete_argv(name: str, zone: str) -> list[str]:
+    """The exact `gcloud compute tpus tpu-vm delete` argv (see above)."""
+    return [
+        "gcloud", "compute", "tpus", "tpu-vm", "delete", name,
+        f"--zone={zone}", "--quiet",
+    ]
+
+
+def _backend_gcloud(spec: LaunchSpec, script: str) -> Dict[str, str]:
+    res = subprocess.run(
+        gcloud_create_argv(spec, script),
+        capture_output=True, text=True, timeout=600,
+    )
     if res.returncode != 0:
         raise CloudError(f"gcloud create failed: {res.stderr}")
     return {"instance": spec.name, "state": "creating"}
@@ -149,7 +169,6 @@ def stop_instance(reason: str = "") -> None:
     zone = os.environ.get("NV_TPU_ZONE", "us-central1-a")
     print(f"Stopping instance {name} ({reason})")
     subprocess.run(
-        ["gcloud", "compute", "tpus", "tpu-vm", "delete", name,
-         f"--zone={zone}", "--quiet"],
+        gcloud_delete_argv(name, zone),
         capture_output=True, text=True, timeout=600,
     )

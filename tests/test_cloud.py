@@ -87,3 +87,107 @@ def test_unknown_backend_rejected(monkeypatch):
 def test_stop_instance_noop_without_env(monkeypatch):
     monkeypatch.delenv("NV_INSTANCE_NAME", raising=False)
     stop_instance("test")  # must be a silent no-op locally
+
+
+# ---------------------------------------------------------------------------
+# gcloud argv goldens (VERDICT r3 #10): the real provider can't be exercised
+# on this host, so the exact CLI shape is pinned. If gcloud's TPU-VM surface
+# (or our construction of it) drifts, these fail with a readable diff.
+# Pinned against `gcloud compute tpus tpu-vm create/delete` as of 2026.
+# ---------------------------------------------------------------------------
+
+def test_gcloud_create_argv_golden():
+    from nnue_vision_tpu.cloud.launcher import gcloud_create_argv
+
+    spec = LaunchSpec(
+        model_type="nnue", accelerator="v5litepod-8", zone="us-east5-b",
+        name="nv-train-golden",
+    )
+    assert gcloud_create_argv(spec, "#!/bin/bash\necho hi") == [
+        "gcloud", "compute", "tpus", "tpu-vm", "create", "nv-train-golden",
+        "--zone=us-east5-b",
+        "--accelerator-type=v5litepod-8",
+        "--version=tpu-ubuntu2204-base",
+        "--metadata=startup-script=#!/bin/bash\necho hi",
+    ]
+
+
+def test_gcloud_delete_argv_golden():
+    from nnue_vision_tpu.cloud.launcher import gcloud_delete_argv
+
+    assert gcloud_delete_argv("nv-train-golden", "us-east5-b") == [
+        "gcloud", "compute", "tpus", "tpu-vm", "delete", "nv-train-golden",
+        "--zone=us-east5-b", "--quiet",
+    ]
+
+
+def test_gcloud_backend_invokes_pinned_argv(monkeypatch):
+    """End-to-end through start_cloud_training with the gcloud backend,
+    subprocess mocked: the argv handed to subprocess.run must be exactly
+    the golden construction, with the bootstrap script inline in the
+    startup-script metadata."""
+    from nnue_vision_tpu.cloud import launcher
+
+    calls = []
+
+    class Res:
+        returncode = 0
+        stdout = ""
+        stderr = ""
+
+    def fake_run(cmd, **kwargs):
+        calls.append(cmd)
+        return Res()
+
+    monkeypatch.setattr(launcher, "check_git_status", lambda: "deadbeef")
+    monkeypatch.setattr(launcher.subprocess, "run", fake_run)
+    spec = LaunchSpec(model_type="etinynet", name="nv-x", zone="z",
+                      accelerator="a", repo_url="https://example.com/r.git")
+    info = start_cloud_training(spec, backend="gcloud", run=FakeRun())
+    assert info == {"instance": "nv-x", "state": "creating",
+                    "run": "fake-run-1", "commit": "deadbeef"}
+    (cmd,) = calls
+    script = make_bootstrap_script(
+        "https://example.com/r.git", "deadbeef", "etinynet", "fake-run-1"
+    )
+    assert cmd == launcher.gcloud_create_argv(spec, script)
+    assert cmd[:6] == ["gcloud", "compute", "tpus", "tpu-vm", "create",
+                       "nv-x"]
+
+
+def test_gcloud_backend_create_failure_raises(monkeypatch):
+    from nnue_vision_tpu.cloud import launcher
+
+    class Res:
+        returncode = 1
+        stdout = ""
+        stderr = "quota exceeded"
+
+    monkeypatch.setattr(launcher, "check_git_status", lambda: "deadbeef")
+    monkeypatch.setattr(
+        launcher.subprocess, "run", lambda *a, **k: Res()
+    )
+    spec = LaunchSpec(model_type="nnue", repo_url="u")
+    with pytest.raises(CloudError, match="quota exceeded"):
+        start_cloud_training(spec, backend="gcloud", run=FakeRun())
+
+
+def test_stop_instance_uses_pinned_delete_argv(monkeypatch):
+    from nnue_vision_tpu.cloud import launcher
+
+    calls = []
+
+    class Res:
+        returncode = 0
+        stdout = ""
+        stderr = ""
+
+    monkeypatch.setattr(
+        launcher.subprocess, "run",
+        lambda cmd, **k: calls.append(cmd) or Res(),
+    )
+    monkeypatch.setenv("NV_INSTANCE_NAME", "nv-train-golden")
+    monkeypatch.setenv("NV_TPU_ZONE", "us-east5-b")
+    stop_instance("done")
+    assert calls == [launcher.gcloud_delete_argv("nv-train-golden",
+                                                 "us-east5-b")]
