@@ -177,6 +177,53 @@ def main() -> None:
         f"{peak:.3g} peak) — timing is broken, refusing to publish"
     )
 
+    # Fused Pallas input path (ops/input_pipeline.py) — since r4 this IS
+    # the production step for the flagship light-tier NNUE config
+    # (training/loop.py routes scan chunks through it), so when it works
+    # it becomes the headline; the jnp pipeline number stays in extras as
+    # train_unfused_images_per_sec for time-series continuity.
+    train_fused_ips = 0.0
+    try:
+        from nnue_vision_tpu.ops.input_pipeline import prepare_gather_dataset
+        from nnue_vision_tpu.training.step import scanned_train_steps_fused
+
+        gather_ds = prepare_gather_dataset(device_images)
+        f_state = make_train_state(params, optimizer)
+        f_key = jax.random.PRNGKey(5)
+
+        def fused_dispatch(st, k, idx_chunk):
+            k, sub = jax.random.split(k)
+            st, m = scanned_train_steps_fused(
+                st, gather_ds, device_labels, idx_chunk, sub,
+                model_type="nnue", model_cfg=cfg, optimizer=optimizer,
+                height=32, width=32,
+            )
+            return st, k, m
+
+        for _ in range(2):
+            f_state, f_key, f_metrics = fused_dispatch(f_state, f_key, idx0)
+        np.asarray(f_metrics["loss"])  # warm-up readback
+
+        t0 = time.perf_counter()
+        for idx_chunk in chunks:
+            f_state, f_key, f_metrics = fused_dispatch(f_state, f_key, idx_chunk)
+        f_loss = float(np.asarray(f_metrics["loss"])[-1])
+        fused_dt = time.perf_counter() - t0
+        assert np.isfinite(f_loss), f"non-finite fused loss {f_loss}"
+        train_fused_ips = train_images / fused_dt
+        fused_mfu = train_fused_ips * 3.0 * fwd_flops / peak
+        assert fused_mfu < 1.0, (
+            f"impossible: fused train MFU {fused_mfu:.3f} ≥ 1"
+        )
+    except Exception as e:
+        print(f"# fused input path unavailable: {e}", flush=True)
+
+    train_unfused_ips = train_ips
+    if train_fused_ips > 0.0:
+        train_ips = train_fused_ips
+        train_mfu = train_ips * 3.0 * fwd_flops / peak
+        final_loss = f_loss
+
     # int8 inference (bit-exact engine arithmetic) throughput.
     q = nnue_quantize(state.params, cfg)
     sim_params, sim_cfg = nnue_sim_params(q)
@@ -404,6 +451,69 @@ def main() -> None:
     except Exception as e:
         print(f"# etiny bench unavailable: {e}", flush=True)
 
+    # EtinyNet training throughput (VERDICT r3 item 7): the production
+    # 0.98M variant at the reference's batch 1024 (config/train_etinynet.py
+    # upstream), full step = on-device augmentation + fwd + bwd + BN-stat
+    # update + SGD, scanned K steps per dispatch like the NNUE headline.
+    etiny_train_ips = 0.0
+    etiny_train_mfu = 0.0
+    try:
+        from nnue_vision_tpu.models.etinynet import (
+            EtinyNetConfig,
+            etinynet_init,
+        )
+
+        et_cfg = EtinyNetConfig(
+            variant="0.98M", num_classes=10, input_size=32
+        )
+        et_params, et_stats = etinynet_init(jax.random.PRNGKey(3), et_cfg)
+        et_state = make_train_state(et_params, optimizer, et_stats)
+        et_batch = 1024
+        et_spd = 16
+        et_key = jax.random.PRNGKey(4)
+
+        def etiny_dispatch(st, k, idx_chunk):
+            k, sub = jax.random.split(k)
+            st, m = scanned_train_steps(
+                st, device_images, device_labels, idx_chunk, sub,
+                model_type="etinynet", model_cfg=et_cfg, optimizer=optimizer,
+                strength="heavy", augment=True,
+            )
+            return st, k, m
+
+        et_idx0 = jnp.asarray(rng.integers(0, n_data, (et_spd, et_batch)))
+        for _ in range(2):
+            et_state, et_key, et_metrics = etiny_dispatch(
+                et_state, et_key, et_idx0
+            )
+        np.asarray(et_metrics["loss"])  # warm-up readback
+
+        et_dispatches = 10
+        et_chunks = [
+            jnp.asarray(rng.integers(0, n_data, (et_spd, et_batch)))
+            for _ in range(et_dispatches)
+        ]
+        t0 = time.perf_counter()
+        for c in et_chunks:
+            et_state, et_key, et_metrics = etiny_dispatch(et_state, et_key, c)
+        et_loss = float(np.asarray(et_metrics["loss"])[-1])
+        et_dt = time.perf_counter() - t0
+        assert np.isfinite(et_loss), f"non-finite etinynet loss {et_loss}"
+        etiny_train_ips = et_dispatches * et_spd * et_batch / et_dt
+
+        from nnue_vision_tpu.models.api import EtinyNet as EtinyNetFacade
+
+        et_fwd_flops = float(
+            EtinyNetFacade(variant="0.98M", num_classes=10,
+                           input_size=32).count_flops()
+        )
+        etiny_train_mfu = etiny_train_ips * 3.0 * et_fwd_flops / peak
+        assert etiny_train_mfu < 1.0, (
+            f"impossible: etinynet train MFU {etiny_train_mfu:.3f} ≥ 1"
+        )
+    except Exception as e:
+        print(f"# etiny train bench unavailable: {e}", flush=True)
+
     print(json.dumps({
         "metric": "cifar10_nnue_train_images_per_sec_per_chip",
         "value": round(train_ips, 1),
@@ -412,6 +522,11 @@ def main() -> None:
         "extras": {
             "train_mfu": round(train_mfu, 5),
             "train_final_loss": round(final_loss, 4),
+            # jnp (unfused) input pipeline — the pre-r4 headline path
+            "train_unfused_images_per_sec": round(train_unfused_ips, 1),
+            "train_input_pipeline": (
+                "fused-pallas" if train_fused_ips > 0.0 else "jnp"
+            ),
             "int8_infer_images_per_sec": round(infer_ips, 1),
             "int8_infer_mfu": round(infer_mfu, 5),
             # the flagship Pallas pipeline is the megafused single kernel
@@ -426,6 +541,8 @@ def main() -> None:
                 pallas_serve_ips, 1
             ),
             "int8_etinynet_micro_images_per_sec": round(etiny_ips, 1),
+            "etinynet_train_images_per_sec": round(etiny_train_ips, 1),
+            "etinynet_train_mfu": round(etiny_train_mfu, 5),
             "int8_infer_ms_per_image": round(1000.0 / infer_ips, 5),
             "int8_vs_reference_engine_claim": round(
                 (1000.0 / infer_ips) / REF_INT8_MS_PER_IMAGE, 6

@@ -49,6 +49,7 @@ from nnue_vision_tpu.training.step import (
     gathered_train_step,
     make_train_state,
     scanned_train_steps,
+    scanned_train_steps_fused,
     train_step,
 )
 
@@ -169,9 +170,12 @@ def train_model(
     # Data-parallel mesh sized to the largest device count that divides the
     # (drop_last) train batch, so every shard is equal — no padding, no
     # masked-loss complications.
+    # config.max_devices caps the data-parallel width (0/absent = all);
+    # max_devices=1 forces single-device even on a multi-chip host.
     mesh = None
-    if len(devices) > 1:
-        n = len(devices)
+    n_cap = int(getattr(config, "max_devices", 0) or 0) or len(devices)
+    if min(len(devices), n_cap) > 1:
+        n = min(len(devices), n_cap)
         while n > 1 and config.batch_size % n != 0:
             n -= 1
         if n > 1:
@@ -365,6 +369,34 @@ def train_model(
             + (f", replicated over {mesh.devices.size} chips)" if mesh else ")")
         )
 
+    # Fused Pallas input path (ops/input_pipeline.py): gather + flip +
+    # brightness/contrast + cutout + normalize collapse into ONE kernel per
+    # step with all randomness hoisted out of the scan body — the
+    # dispatch-floor fix from docs/TRAIN_ROOFLINE.md. Distribution-identical
+    # to the light tier (different RNG stream). Production-on for the
+    # flagship NNUE light-tier config; config.fused_input_pipeline=False
+    # opts out. Costs one extra dataset copy in HBM (the W-flipped half).
+    gather_data = None
+    fused_interpret = False
+    if (
+        device_data is not None
+        and mesh is None
+        and model_type == "nnue"
+        and use_aug
+        and strength == "light"
+        and not distill_kwargs
+        and bool(getattr(config, "fused_input_pipeline", True))
+    ):
+        from nnue_vision_tpu.ops.input_pipeline import prepare_gather_dataset
+
+        fused_interpret = jax.devices()[0].platform != "tpu"
+        gather_data = prepare_gather_dataset(device_data[0])
+        early_log(
+            "fused input pipeline active: one Pallas gather+augment+"
+            "normalize kernel per step"
+            + (" (interpret mode)" if fused_interpret else "")
+        )
+
     # Device-resident EVAL splits (single-device only; under a mesh the
     # eval inputs stay host-side so GSPMD placement is uniform). Uploading
     # the normalized split once and slicing on device removes the
@@ -427,13 +459,25 @@ def train_model(
                     chunk = idx_batches[pos : pos + steps_per_dispatch]
                     rng, aug_key = jax.random.split(rng)
                     if len(chunk) == steps_per_dispatch and len(chunk) > 1:
-                        state, metrics = scanned_train_steps(
-                            state, device_data[0], device_data[1],
-                            _shard_idx(np.stack(chunk)), aug_key,
-                            model_type=model_type, model_cfg=cfg_for(epoch),
-                            optimizer=opt_for(epoch), strength=strength,
-                            augment=use_aug, **distill_kwargs,
-                        )
+                        if gather_data is not None:
+                            state, metrics = scanned_train_steps_fused(
+                                state, gather_data, device_data[1],
+                                np.stack(chunk), aug_key,
+                                model_type=model_type,
+                                model_cfg=cfg_for(epoch),
+                                optimizer=opt_for(epoch),
+                                height=int(ds.images.shape[1]),
+                                width=int(ds.images.shape[2]),
+                                interpret=fused_interpret,
+                            )
+                        else:
+                            state, metrics = scanned_train_steps(
+                                state, device_data[0], device_data[1],
+                                _shard_idx(np.stack(chunk)), aug_key,
+                                model_type=model_type, model_cfg=cfg_for(epoch),
+                                optimizer=opt_for(epoch), strength=strength,
+                                augment=use_aug, **distill_kwargs,
+                            )
                         chunk_losses = np.asarray(metrics["loss"])
                     else:
                         chunk_losses = []

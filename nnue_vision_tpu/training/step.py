@@ -171,6 +171,71 @@ def scanned_train_steps(
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "model_type", "model_cfg", "optimizer", "clip_weights", "height",
+        "width", "tile_b", "interpret",
+    ),
+)
+def scanned_train_steps_fused(
+    state: TrainState,
+    gather_dataset: jnp.ndarray,  # (2N, R, 128) prepare_gather_dataset output
+    device_labels: jnp.ndarray,   # (N,)
+    idx_chunk: jnp.ndarray,       # (K, B) indices for K consecutive steps
+    key: jax.Array,
+    *,
+    model_type: str,
+    model_cfg,
+    optimizer: optax.GradientTransformation,
+    height: int,
+    width: int,
+    clip_weights: bool = True,
+    tile_b: int = 64,
+    interpret: bool = False,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """`scanned_train_steps` with the entire input path collapsed to ONE
+    Pallas kernel per step (ops/input_pipeline.py) and every per-step
+    random draw, label gather, and flip decision hoisted OUT of the scan
+    body — the dispatch-floor fix from the train roofline
+    (docs/TRAIN_ROOFLINE.md: the step is per-kernel-launch bound, so the
+    ~7 gather/augment kernels per iteration were most of the step).
+
+    Semantics: the production "light" augmentation tier (the flagship
+    NNUE config) — distribution-identical to scanned_train_steps(
+    strength="light", augment=True); the RNG stream differs (one batched
+    per-dispatch draw instead of per-step key splits)."""
+    from nnue_vision_tpu.ops.input_pipeline import (
+        draw_light_params,
+        fused_light_pipeline,
+    )
+
+    steps, _batch = idx_chunk.shape
+    n = device_labels.shape[0]
+    params = draw_light_params(key, steps, idx_chunk.shape[1], height, width)
+    idx_eff = (idx_chunk + n * params.flip.astype(jnp.int32)).astype(jnp.int32)
+    labels_chunk = jnp.take(device_labels, idx_chunk, axis=0)  # (K, B)
+
+    def body(carry, inp):
+        st = carry
+        idx_e, labels, pf, pi = inp
+        x = fused_light_pipeline(
+            gather_dataset, idx_e, pf, pi,
+            h=height, w=width, tile_b=tile_b, interpret=interpret,
+        )
+        st, metrics = train_step(
+            st, x, labels,
+            model_type=model_type, model_cfg=model_cfg, optimizer=optimizer,
+            clip_weights=clip_weights,
+        )
+        return st, metrics
+
+    state, metrics = jax.lax.scan(
+        body, state, (idx_eff, labels_chunk, params.pf, params.pi)
+    )
+    return state, metrics
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "model_type", "model_cfg", "optimizer", "clip_weights", "strength",
         "augment", "teacher_cfg", "distill_alpha", "distill_temp",
     ),

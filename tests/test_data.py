@@ -161,6 +161,69 @@ def test_download_path_loads_real_data(tmp_path, monkeypatch):
     assert not test.is_synthetic and test.images.shape[0] == 8
 
 
+def test_cifar10_binary_layout_bit_faithful(tmp_path):
+    """Genuine CIFAR-10 python-batch byte layout (VERDICT r3 item 6):
+    each 3072-byte row is three row-major 32×32 planes in R,G,B order —
+    byte index c·1024 + y·32 + x (upstream consumes this layout via
+    torchvision at reference data/datasets.py:376-404). Pixel values here
+    ENCODE their (sample, channel, y, x) coordinates, so any error in
+    plane order, row-major order, channel order, the CHW→HWC transpose,
+    or label alignment changes the decoded value and fails the test.
+    The existing random-data fixtures can't catch those (random bytes
+    look the same under any permutation)."""
+    import pickle
+
+    from nnue_vision_tpu.data.datasets import _load_cifar_from_disk
+
+    n = 4
+
+    def val(i, c, y, x):
+        # injective into [0, 255]: coordinates recoverable from the byte
+        return (i * 59 + c * 83 + y * 7 + x * 3) % 256
+
+    ii, cc, yy, xx = np.meshgrid(
+        np.arange(n), np.arange(3), np.arange(32), np.arange(32),
+        indexing="ij",
+    )
+    rows = val(ii, cc, yy, xx).astype(np.uint8).reshape(n, 3072)
+
+    base = tmp_path / "cifar-10-batches-py"
+    base.mkdir()
+    for b in range(1, 6):
+        with open(base / f"data_batch_{b}", "wb") as f:
+            pickle.dump(
+                {b"data": rows, b"labels": [(b * 10 + i) % 10 for i in range(n)]},
+                f,
+            )
+    with open(base / "test_batch", "wb") as f:
+        pickle.dump({b"data": rows, b"labels": list(range(n))}, f)
+
+    images, labels = _load_cifar_from_disk(tmp_path, "cifar10", train=True)
+    assert images.shape == (5 * n, 32, 32, 3) and labels.shape == (5 * n,)
+    # spot-check every coordinate axis with exact expected bytes
+    for i in (0, 3):
+        for c in range(3):
+            for (y, x) in ((0, 0), (0, 31), (31, 0), (17, 5)):
+                expected = np.float32(val(i, c, y, x)) / np.float32(255.0)
+                got = images[i, y, x, c]
+                assert got == expected, (i, c, y, x, got)
+    # full-tensor check against the analytic layout for batch 1
+    expected_imgs = (
+        rows.reshape(n, 3, 32, 32).transpose(0, 2, 3, 1).astype(np.float32)
+        / 255.0
+    )
+    np.testing.assert_array_equal(images[:n], expected_imgs)
+    # label order: row i of batch b → global index (b-1)*n + i
+    assert labels.tolist() == [
+        (b * 10 + i) % 10 for b in range(1, 6) for i in range(n)
+    ]
+
+    te_images, te_labels = _load_cifar_from_disk(tmp_path, "cifar10",
+                                                 train=False)
+    assert te_images.shape == (n, 32, 32, 3)
+    assert te_labels.tolist() == list(range(n))
+
+
 def test_nv_data_dir_tarball_bypasses_downloader(tmp_path, monkeypatch):
     """Real-data readiness drill (VERDICT r2 item 7): NV_DATA_DIR pointed
     at ANY mount holding the standard CIFAR pickle tarball loads real

@@ -195,3 +195,34 @@ def test_actual_training_two_epochs(tmp_path, monkeypatch):
     keys = {k for r in records for k in r}
     for expected in ("train/loss", "val/f1", "compiled/f1", "test/f1"):
         assert expected in keys, f"missing metric stream {expected}"
+
+
+def test_training_uses_fused_input_pipeline(tmp_path, monkeypatch, capsys):
+    """The flagship production shape (NNUE + light tier + device-resident
+    data) must route batches through the fused Pallas input kernel
+    (interpret mode on the CPU test platform) and still train: finite
+    losses, checkpoints, the fused-pipeline log line."""
+    monkeypatch.setenv("NV_SKIP_ENGINE", "1")
+    monkeypatch.delenv("WANDB_API_KEY", raising=False)
+    monkeypatch.chdir(tmp_path)
+
+    from config import load_config
+    from nnue_vision_tpu.training.loop import train_model
+
+    repo = Path(__file__).resolve().parent.parent
+    cfg = load_config(str(repo / "config" / "train_nnue_test.py"))
+    cfg.max_epochs = 1
+    cfg.max_samples_per_split = 32
+    cfg.use_augmentation = True
+    cfg.augmentation_strength = "light"  # the fused tier
+    cfg.steps_per_dispatch = 2  # 8 batches of 4 → scan chunks of 2
+    cfg.max_devices = 1  # fused path is the single-device input pipeline
+    cfg.log_dir = str(tmp_path / "logs")
+
+    rc = train_model(cfg, "nnue")
+    assert rc == 0
+    assert "fused input pipeline active" in capsys.readouterr().out
+    metrics_files = list((tmp_path / "logs" / "runs").rglob("metrics.jsonl"))
+    records = [json.loads(l) for l in metrics_files[0].read_text().splitlines()]
+    losses = [r["train/loss"] for r in records if "train/loss" in r]
+    assert losses and all(np.isfinite(losses))
