@@ -71,6 +71,42 @@ def _rot90(key, x, p):
     return jnp.where(_bernoulli(k_apply, p, b), rotated, x)
 
 
+def _bilinear_gather(x, src_y, src_x):
+    """Per-sample bilinear resample with zeros outside the frame.
+
+    Same semantics as `jax.scipy.ndimage.map_coordinates(order=1,
+    mode="constant", cval=0)` per channel, but expressed as FOUR flat
+    `take_along_axis` gathers over the flattened spatial axis instead of
+    vmapped multi-dimensional gathers — the multi-dim form lowers
+    pathologically on TPU (measured ~220 ms for a 1024×32×32×3 batch on
+    v5e; this form is the standard embedding-style batched gather XLA
+    tiles well)."""
+    b, h, w, c = x.shape
+    y0 = jnp.floor(src_y)
+    x0 = jnp.floor(src_x)
+    wy = (src_y - y0)[..., None]
+    wx = (src_x - x0)[..., None]
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    flat = x.reshape(b, h * w, c)
+
+    def corner(yi, xi):
+        valid = ((yi >= 0) & (yi < h) & (xi >= 0) & (xi < w))[..., None]
+        idx = (
+            jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+        ).reshape(b, h * w, 1)
+        v = jnp.take_along_axis(flat, idx, axis=1).reshape(b, h, w, c)
+        return jnp.where(valid, v, 0.0)
+
+    v00 = corner(y0i, x0i)
+    v01 = corner(y0i, x0i + 1)
+    v10 = corner(y0i + 1, x0i)
+    v11 = corner(y0i + 1, x0i + 1)
+    top = v00 * (1.0 - wx) + v01 * wx
+    bot = v10 * (1.0 - wx) + v11 * wx
+    return top * (1.0 - wy) + bot * wy
+
+
 def _affine(key, x, p, max_deg, max_translate, scale_range):
     """Rotation+translation+scale via one inverse-warp bilinear resample."""
     b, h, w, _ = x.shape
@@ -94,14 +130,7 @@ def _affine(key, x, p, max_deg, max_translate, scale_range):
     src_y = cos * dy + sin * dx + cy
     src_x = -sin * dy + cos * dx + cx
 
-    def sample_one(img, sy, sx):
-        def grab(c):
-            return jax.scipy.ndimage.map_coordinates(
-                img[:, :, c], [sy, sx], order=1, mode="constant", cval=0.0
-            )
-        return jnp.stack([grab(0), grab(1), grab(2)], axis=-1)
-
-    warped = jax.vmap(sample_one)(x, src_y, src_x)
+    warped = _bilinear_gather(x, src_y, src_x)
     return jnp.where(apply, warped, x)
 
 

@@ -387,6 +387,45 @@ def test_augment_batch_properties(rng, strength):
     assert not np.array_equal(out, out3)
 
 
+def test_bilinear_gather_matches_map_coordinates(rng):
+    """The TPU-friendly flat-gather warp (_bilinear_gather) must reproduce
+    `jax.scipy.ndimage.map_coordinates(order=1, mode='constant', cval=0)`
+    — the reference semantics the affine warp was originally written
+    against — including out-of-frame coordinates (zero fill)."""
+    import jax.numpy as jnp
+
+    from nnue_vision_tpu.data.augment import _bilinear_gather
+
+    b, h, w = 5, 13, 11
+    x = jnp.asarray(rng.random((b, h, w, 3), dtype=np.float32))
+    # coordinates straddle the frame: in-bounds, fractional, and outside
+    src_y = jnp.asarray(
+        rng.uniform(-3.0, h + 3.0, (b, h, w)).astype(np.float32)
+    )
+    src_x = jnp.asarray(
+        rng.uniform(-3.0, w + 3.0, (b, h, w)).astype(np.float32)
+    )
+
+    got = _bilinear_gather(x, src_y, src_x)
+
+    def ref_one(img, sy, sx):
+        return jnp.stack(
+            [
+                jax.scipy.ndimage.map_coordinates(
+                    img[:, :, c], [sy, sx], order=1, mode="constant",
+                    cval=0.0,
+                )
+                for c in range(3)
+            ],
+            axis=-1,
+        )
+
+    want = jax.vmap(ref_one)(x, src_y, src_x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=0, atol=1e-6
+    )
+
+
 def test_augment_changes_some_samples(rng):
     images = rng.random((16, 16, 16, 3), dtype=np.float32).astype(np.float32)
     out = np.asarray(augment_batch(jax.random.PRNGKey(2), images, "medium"))
