@@ -198,7 +198,12 @@ def fused_light_pipeline(
     batch = idx_eff.shape[0]
     rows = dataset2n.shape[1]
     assert rows == _rows_for(h, w), (rows, h, w)
-    tb = _pick_tile(batch, tile_b)
+    # VMEM cap: the kernel holds ~2 f32 tiles (DMA scratch + output block)
+    # plus pipelining copies; cap the batch tile so they fit the ~16 MB
+    # scoped VMEM with headroom (measured: tile 64 × 139 rows OOMs at
+    # 16.61 MB on v5e for 77×77 images).
+    vmem_rows_budget = (2 << 20) // (LANES * 4)  # 2 MB per f32 tile buffer
+    tb = _pick_tile(batch, min(tile_b, max(1, vmem_rows_budget // rows)))
     ymap, xmap, mean, std = _coord_rows(h, w)
 
     full = lambda i, s: (0, 0)  # noqa: E731

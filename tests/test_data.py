@@ -426,6 +426,56 @@ def test_bilinear_gather_matches_map_coordinates(rng):
     )
 
 
+def test_composed_rot90_warp_is_exact(rng):
+    """The composed-geometry warp must reproduce jnp.rot90 EXACTLY for the
+    four exact rotation matrices (integer entries → the bilinear sample
+    lands on grid points with zero fractional weight)."""
+    import jax.numpy as jnp
+
+    from nnue_vision_tpu.data.augment import _warp
+
+    b, h = 4, 8
+    x = jnp.asarray(rng.random((b, h, h, 3), dtype=np.float32))
+    mats = [
+        [[1.0, 0.0], [0.0, 1.0]],
+        [[0.0, 1.0], [-1.0, 0.0]],
+        [[-1.0, 0.0], [0.0, -1.0]],
+        [[0.0, -1.0], [1.0, 0.0]],
+    ]
+    for k, m in enumerate(mats):
+        mv = (
+            jnp.tile(jnp.asarray(m, jnp.float32), (b, 1, 1)),
+            jnp.zeros((b, 2), jnp.float32),
+        )
+        got = np.asarray(_warp(x, mv))
+        want = np.asarray(jnp.rot90(x, k, (1, 2)))
+        np.testing.assert_array_equal(got, want, err_msg=f"k={k}")
+
+
+def test_geometry_composition_matches_sequential_warps(rng):
+    """Composing two affine maps then warping once must equal warping
+    twice for maps that keep all samples in-frame (composition only
+    changes the interpolation count, which pure translations by integer
+    pixels make exact)."""
+    import jax.numpy as jnp
+
+    from nnue_vision_tpu.data.augment import _mv_compose, _warp
+
+    b, h = 3, 8
+    x = jnp.asarray(rng.random((b, h, h, 3), dtype=np.float32))
+
+    def translate(dy, dx):
+        return (
+            jnp.tile(jnp.eye(2, dtype=jnp.float32), (b, 1, 1)),
+            jnp.tile(jnp.asarray([dy, dx], jnp.float32), (b, 1)),
+        )
+
+    mv1, mv2 = translate(1.0, 0.0), translate(0.0, 2.0)
+    composed = np.asarray(_warp(x, _mv_compose(mv1, mv2)))
+    sequential = np.asarray(_warp(_warp(x, mv1), mv2))
+    np.testing.assert_array_equal(composed, sequential)
+
+
 def test_augment_changes_some_samples(rng):
     images = rng.random((16, 16, 16, 3), dtype=np.float32).astype(np.float32)
     out = np.asarray(augment_batch(jax.random.PRNGKey(2), images, "medium"))
