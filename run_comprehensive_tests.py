@@ -25,9 +25,12 @@ SUITES = [
     ("models", ["tests/test_model.py"]),
     ("engine sims", ["tests/test_engine_sim.py"]),
     ("engine parity", ["tests/test_engine_parity.py"]),
-    ("pallas kernels", ["tests/test_pallas_kernels.py"]),
+    ("pallas kernels", ["tests/test_pallas_kernels.py",
+                        "tests/test_etiny_pallas.py"]),
+    ("input pipeline", ["tests/test_input_pipeline.py"]),
     ("evaluation", ["tests/test_evaluate.py"]),
-    ("benchmarks", ["tests/test_benchmarks.py"]),
+    ("benchmarks", ["tests/test_benchmarks.py",
+                    "tests/test_benchmarks_spec.py"]),
     ("training", ["tests/test_training.py", "tests/test_scanned_steps.py"]),
     ("progressive QAT", ["tests/test_progressive_qat.py",
                          "tests/test_engine_friendly.py"]),
@@ -39,6 +42,7 @@ SUITES = [
     ("parallel", ["tests/test_parallel.py"]),
     ("distributed", ["tests/test_distributed.py"]),
     ("checkpoint/orbax", ["tests/test_checkpoint_orbax.py"]),
+    ("axon preflight", ["tests/test_axon_preflight.py"]),
 ]
 
 
