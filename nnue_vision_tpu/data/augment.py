@@ -181,8 +181,11 @@ def _geom_affine(key, b, p, max_deg, max_translate, scale_range, h, w):
     return _mv_where(apply, (m, v), b)
 
 
-def _warp(x, mv):
-    """Apply one composed inverse map (M, v) with a single bilinear pass."""
+def _warp_gather(x, mv):
+    """Apply one composed inverse map (M, v) with a single bilinear pass
+    realized by flat gathers. Kept as the general-shape fallback; the
+    matmul two-pass below is ~30× faster on TPU but needs H == W and a
+    modest spatial extent (the one-hot tensors are O(B·H·W²))."""
     b, h, w, _ = x.shape
     m, v = mv
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
@@ -197,6 +200,148 @@ def _warp(x, mv):
         + v[:, 1, None, None] + cx
     )
     return _bilinear_gather(x, src_y, src_x)
+
+
+def _lerp_rows_x(x, src_x):
+    """Linear resample along the W axis via a one-hot matmul.
+
+    x: (B, H, W, C); src_x: (B, H, Wo) absolute (uncentered) x coords.
+    Returns (B, H, Wo, C) with zero fill outside [0, W): an out-of-range
+    corner simply matches no one-hot column, so its weight row is zero —
+    `mode="constant", cval=0` semantics for free.
+
+    Why a matmul: per-element gathers (`take_along_axis`) lower to
+    DMA-descriptor-latency-bound code on TPU — measured 32 ms for a
+    1024×32×32×3 warp, 1000× its HBM bound (scripts/profile_heavy_aug.py).
+    Building the (B, H, Wo, W) interpolation matrix costs one fused
+    elementwise write and the contraction rides the MXU. Precision is
+    HIGHEST so exact-integer coordinates (rot90 / flips / integer
+    translations, weights exactly {0, 1}) reproduce the input bits."""
+    w = x.shape[2]
+    i0f = jnp.floor(src_x)
+    fr = (src_x - i0f)[..., None]
+    i0 = i0f.astype(jnp.int32)[..., None]
+    iota = jnp.arange(w, dtype=jnp.int32)
+    weights = (
+        (iota == i0).astype(x.dtype) * (1.0 - fr)
+        + (iota == i0 + 1).astype(x.dtype) * fr
+    )
+    return jnp.einsum(
+        "bhow,bhwc->bhoc", weights, x,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+# Which warp realization `_warp` picks. "auto" resolves per call: the
+# Pallas lane-gather kernel on TPU when the shape qualifies (square,
+# W·C ≤ 128 — ~0.3 ms at 1024×32×32×3), else the one-hot-matmul two-pass
+# (~6 ms), else the flat-gather single pass (~32 ms, any shape). Under a
+# GSPMD mesh the training loop pins "xla" (pallas_call does not partition
+# automatically); the multi-chip fused path shard_maps the kernel instead.
+_WARP_IMPL = "auto"
+
+
+def set_warp_impl(impl: str) -> None:
+    """Pin the warp realization: "auto" | "pallas" | "matmul" | "gather".
+
+    Clears the jit cache — callers of augment_batch bake the choice into
+    their traces at trace time."""
+    global _WARP_IMPL
+    if impl not in ("auto", "pallas", "matmul", "gather"):
+        raise ValueError(f"unknown warp impl: {impl}")
+    _WARP_IMPL = impl
+    jax.clear_caches()
+
+
+def _warp_pallas_ok(h: int, w: int, c: int) -> bool:
+    return h == w and w * c <= 128 and h % 8 == 0
+
+
+def _warp(x, mv):
+    """Apply one composed inverse map (M, v) as a two-pass resample
+    (Catmull & Smith 1980): one horizontal linear pass, one vertical —
+    realized as Mosaic lane-gathers (ops/warp_kernel.py) on TPU, or as
+    batched one-hot matmuls on the MXU elsewhere (see `_lerp_rows_x`).
+
+    The inverse map src = M·dst_c + v decomposes into
+        tmp(yi, xo) = in(yi, q(yi, xo)),   q = (c/a)·yi + (d − cb/a)·xo + (f − ce/a)
+        out(yo, xo) = tmp(p(yo, xo), xo),  p = a·yo + b·xo + e
+    which requires |a| = |m00| bounded away from 0. Every geometric
+    generator here (flip / rot90 / rotate / affine with isotropic scale)
+    is conformal, so M = s·O with O orthogonal: after factoring out an
+    optional axis swap (realized as a per-sample transpose blend, exact),
+    |m00| ≥ s/√2 ≥ ~0.4 for the tier parameter ranges. Non-square inputs
+    fall back to the single-pass gather.
+
+    For fractional rotations the two-pass result differs from direct
+    bilinear sampling (pass 2 blends rows that pass 1 sampled at slightly
+    different x), the standard property of two-pass warping — equally
+    valid resampling, same smoothness class. Exact-grid maps (rot90,
+    flips, integer translations) are reproduced bit-exactly."""
+    b, h, w, c = x.shape
+    impl = _WARP_IMPL
+    if impl == "auto":
+        if _warp_pallas_ok(h, w, c) and jax.devices()[0].platform == "tpu":
+            impl = "pallas"
+        elif h == w and h * w * w <= 1 << 17:
+            impl = "matmul"
+        else:
+            impl = "gather"
+    if impl == "pallas" and _warp_pallas_ok(h, w, c):
+        from nnue_vision_tpu.ops.warp_kernel import warp_bilinear
+
+        return warp_bilinear(
+            x, mv, interpret=jax.devices()[0].platform != "tpu"
+        )
+    if impl == "gather" or h != w or h * w * w > 1 << 17:
+        # non-square (transpose blend undefined) or the one-hot tensors
+        # would exceed ~0.5 GB at batch 1024 — take the gather path
+        return _warp_gather(x, mv)
+    m, v = mv
+    # 1) factor out the axis swap: in2(y, x) = in(x, y) when the map has
+    #    dominant off-diagonal mass; then in(p) = in2(P·p) with P the swap,
+    #    so the effective (M, v) become (P·M, P·v) — row-swapped.
+    swap = (jnp.abs(m[:, 0, 0]) + jnp.abs(m[:, 1, 1])) < (
+        jnp.abs(m[:, 0, 1]) + jnp.abs(m[:, 1, 0])
+    )
+    x2 = jnp.where(swap[:, None, None, None], jnp.swapaxes(x, 1, 2), x)
+    ms = jnp.where(swap[:, None, None], m[:, ::-1, :], m)
+    vs = jnp.where(swap[:, None], v[:, ::-1], v)
+    a = ms[:, 0, 0]
+    bb = ms[:, 0, 1]
+    cc = ms[:, 1, 0]
+    d = ms[:, 1, 1]
+    e = vs[:, 0]
+    f = vs[:, 1]
+    # guard against a pathological (non-conformal caller) map; conformal
+    # tier maps never get near this clamp
+    a = jnp.where(jnp.abs(a) < 1e-3, jnp.where(a < 0, -1e-3, 1e-3), a)
+
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yg = jnp.arange(h, dtype=jnp.float32) - cy    # centered output rows
+    xg = jnp.arange(w, dtype=jnp.float32) - cx    # centered output cols
+
+    # pass 1 (horizontal): per-(sample, row) resample along x
+    r = cc / a
+    q = (
+        r[:, None, None] * yg[None, :, None]
+        + (d - r * bb)[:, None, None] * xg[None, None, :]
+        + (f - r * e)[:, None, None]
+    )
+    tmp = _lerp_rows_x(x2, q + cx)
+
+    # pass 2 (vertical): resample along y = resample the transposed rows
+    p = (
+        a[:, None, None] * yg[None, :, None]
+        + bb[:, None, None] * xg[None, None, :]
+        + e[:, None, None]
+    )
+    # p is indexed (b, yo, xo); transpose to (b, xo, yo) so the W-axis
+    # resampler gathers along y, then transpose back.
+    out_t = _lerp_rows_x(
+        jnp.swapaxes(tmp, 1, 2), jnp.swapaxes(p, 1, 2) + cy
+    )
+    return jnp.swapaxes(out_t, 1, 2)
 
 
 def _affine(key, x, p, max_deg, max_translate, scale_range):
