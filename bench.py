@@ -210,12 +210,15 @@ def main() -> None:
         f_loss = float(np.asarray(f_metrics["loss"])[-1])
         fused_dt = time.perf_counter() - t0
         assert np.isfinite(f_loss), f"non-finite fused loss {f_loss}"
-        train_fused_ips = train_images / fused_dt
-        fused_mfu = train_fused_ips * 3.0 * fwd_flops / peak
+        # MFU sanity BEFORE assigning the headline candidate (ADVICE r4):
+        # a broken timing must never publish an impossible fused number.
+        fused_mfu = (train_images / fused_dt) * 3.0 * fwd_flops / peak
         assert fused_mfu < 1.0, (
             f"impossible: fused train MFU {fused_mfu:.3f} ≥ 1"
         )
+        train_fused_ips = train_images / fused_dt
     except Exception as e:
+        train_fused_ips = 0.0  # a failed guard must not publish a number
         print(f"# fused input path unavailable: {e}", flush=True)
 
     train_unfused_ips = train_ips

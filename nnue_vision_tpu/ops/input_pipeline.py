@@ -124,8 +124,11 @@ def identity_light_params(steps: int, batch: int) -> LightParams:
 def _coord_rows(h: int, w: int) -> Tuple[jnp.ndarray, ...]:
     """Per-flat-index (y, x, mean, std) rows of shape (R, 128). Padding
     beyond H·W·3 gets sentinel coords (h, w — outside every hole) and
-    mean 0 / std 1, pinning padded output lanes to exactly 0. The kernel
-    DIVIDES by std (not multiply-by-reciprocal) so it is bit-identical to
+    mean 0 / std 1. NOTE: padded lanes are NOT pinned to 0 — the
+    brightness FMA writes β into them before normalization (mean 0/std 1
+    preserves β); `fused_light_pipeline` trims the padding off its output,
+    so no consumer sees those lanes (ADVICE r4). The kernel DIVIDES by
+    std (not multiply-by-reciprocal) so it is bit-identical to
     `normalize_images`."""
     rows = _rows_for(h, w)
     size = h * w * 3

@@ -380,6 +380,10 @@ def train_model(
     fused_interpret = False
     if (
         device_data is not None
+        # the fused path holds a 2× (flipped+padded) gather copy in HBM on
+        # top of the resident original — gate on ~3× the dataset bytes so a
+        # near-limit dataset can't OOM the chip at startup (ADVICE r4)
+        and 3 * dataset_bytes <= max_resident
         and mesh is None
         and model_type == "nnue"
         and use_aug
