@@ -474,15 +474,20 @@ def augment_batch(
 ) -> jnp.ndarray:
     """Apply one augmentation tier to a float [0,1] NHWC batch.
 
-    Geometry (flip / rot90 / rotate / affine) is COMPOSED: every geometric
-    op draws its own gate + parameters as before, but they multiply into
-    one per-sample inverse map realized by a single bilinear warp — gather
-    passes are the binding resource on TPU, and this runs one instead of
-    up to seven (measured on v5e, EtinyNet-0.98M heavy-tier training at
-    batch 1024: 7.8k → 29.2k img/s vs sequential warps, 21× vs the
-    original map_coordinates warps). Composition also loses less
-    information than chained resampling (one interpolation, not N).
-    Photometric ops are elementwise and stay sequential; they fuse."""
+    Geometry (flip / rot90 / rotate / affine) is COMPOSED per block: every
+    geometric op draws its own gate + parameters as before, but each
+    tier block's maps multiply into one per-sample inverse map realized
+    by a single warp (the Pallas lane-gather two-pass on TPU —
+    ops/warp_kernel.py). The medium block warps once before the
+    photometric chain; the heavy block's extra geometry warps once more
+    AFTER the medium photometric block, preserving the reference op
+    order (upstream heavy tier, data/datasets.py:258-307; ADVICE r4
+    restored this — round 4 had folded both blocks into one
+    pre-photometric warp, which silently exempted cutout/blur/noise/
+    shadow/fog from the heavy geometry). Composition within a block also
+    loses less information than chained resampling (one interpolation
+    per block, not one per op). Photometric ops are elementwise and stay
+    sequential; they fuse."""
     if strength not in STRENGTHS:
         raise ValueError(f"strength must be one of {STRENGTHS}")
     ks = list(jax.random.split(key, 24))
@@ -495,7 +500,7 @@ def augment_batch(
         x = _cutout(ks[2], x, 0.2, (0.05, 0.051))
         return x
 
-    # -- geometry: compose every map, warp once -------------------------- #
+    # -- geometry: compose the medium maps, warp once --------------------- #
     mv = _geom_hflip(ks[0], b, 0.5)
     mv = _mv_compose(mv, _geom_rot90(ks[1], b, 0.5))
     mv = _mv_compose(
@@ -504,15 +509,6 @@ def augment_batch(
     mv = _mv_compose(
         mv, _geom_affine(ks[3], b, 0.3, 15.0, 0.1, (0.9, 1.1), h, w)
     )  # Affine
-    if strength == "heavy":
-        mv = _mv_compose(mv, _geom_hflip(ks[10], b, 0.1))
-        mv = _mv_compose(mv, _geom_rot90(ks[11], b, 0.1))
-        mv = _mv_compose(
-            mv, _geom_affine(ks[12], b, 0.2, 25.0, 0.0, (1.0, 1.0001), h, w)
-        )
-        mv = _mv_compose(
-            mv, _geom_affine(ks[13], b, 0.2, 25.0, 0.15, (0.85, 1.15), h, w)
-        )
     x = _warp(x, mv)
 
     # -- photometric (elementwise, fused by XLA) ------------------------- #
@@ -528,6 +524,20 @@ def augment_batch(
     x = _equalize_approx(ks[23], x, 0.1)
 
     if strength == "heavy":
+        # the aggressive second pass runs AFTER the medium photometric
+        # block — reference ordering (upstream heavy tier appends its
+        # geometric transforms after the medium chain,
+        # data/datasets.py:258-307 upstream; ADVICE r4). Its four
+        # geometric draws compose into one additional warp.
+        mv2 = _geom_hflip(ks[10], b, 0.1)
+        mv2 = _mv_compose(mv2, _geom_rot90(ks[11], b, 0.1))
+        mv2 = _mv_compose(
+            mv2, _geom_affine(ks[12], b, 0.2, 25.0, 0.0, (1.0, 1.0001), h, w)
+        )
+        mv2 = _mv_compose(
+            mv2, _geom_affine(ks[13], b, 0.2, 25.0, 0.15, (0.85, 1.15), h, w)
+        )
+        x = _warp(x, mv2)
         x = _brightness_contrast(ks[14], x, 0.2, 0.3)
         x = _hsv_shift(ks[15], x, 0.2, 15 / 255.0, 0.2, 15 / 255.0)
         x = _blur(ks[16], x, 0.2)

@@ -445,10 +445,10 @@ input_size = 32
 grid_size = 10
 num_features_per_square = 8
 
-learning_rate = 0.01
+learning_rate = {lr}
 weight_decay = 2e-4
 momentum = 0.9
-optimizer_type = "sgd"
+optimizer_type = "{optimizer}"
 max_epochs = {epochs}
 max_grad_norm = 1.0
 use_cosine_scheduler = True  # inert upstream (get_lr never called)
@@ -479,6 +479,14 @@ def main() -> int:
                          "spawns one engine subprocess per sample, so "
                          "this bounds anchor wall-clock")
     ap.add_argument("--seed", type=int, default=42)
+    # VERDICT r4 item 2: a cell where the reference demonstrably LEARNS.
+    # Its production SGD lr 0.01 flatlines at chance on this task; the
+    # trainer's own Adam path (reference train.py:457-471 create_optimizer,
+    # anything != "sgd" -> torch.optim.Adam) is the suggested regime.
+    ap.add_argument("--optimizer", choices=["sgd", "adam"], default="sgd")
+    ap.add_argument("--lr", type=float, default=None,
+                    help="learning rate (default: 0.01 for sgd — the "
+                         "reference production value — 1e-3 for adam)")
     ap.add_argument("--prepare-only", action="store_true")
     args = ap.parse_args()
 
@@ -497,8 +505,11 @@ def main() -> int:
     (tv / "__init__.py").write_text(TORCHVISION_INIT_STUB)
     (tv / "datasets.py").write_text(TORCHVISION_DATASETS_STUB)
     (workdir / "nnue_runpod_service.py").write_text(RUNPOD_STUB)
+    lr = args.lr if args.lr is not None else (
+        0.01 if args.optimizer == "sgd" else 1e-3)
     (workdir / "config" / "train_nnue_anchor.py").write_text(
-        ANCHOR_CONFIG.format(epochs=args.epochs, seed=args.seed))
+        ANCHOR_CONFIG.format(epochs=args.epochs, seed=args.seed,
+                             lr=lr, optimizer=args.optimizer))
     (workdir / "run_anchor_train.py").write_text(
         RUNNER.format(seed=args.seed))
     print("staged stubs + config + runner")
