@@ -172,7 +172,7 @@ def scanned_train_steps(
     jax.jit,
     static_argnames=(
         "model_type", "model_cfg", "optimizer", "clip_weights", "height",
-        "width", "tile_b", "interpret",
+        "width", "tile_b", "interpret", "mesh", "identity_augment",
     ),
 )
 def scanned_train_steps_fused(
@@ -190,6 +190,8 @@ def scanned_train_steps_fused(
     clip_weights: bool = True,
     tile_b: int = 64,
     interpret: bool = False,
+    mesh=None,
+    identity_augment: bool = False,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """`scanned_train_steps` with the entire input path collapsed to ONE
     Pallas kernel per step (ops/input_pipeline.py) and every per-step
@@ -201,25 +203,54 @@ def scanned_train_steps_fused(
     Semantics: the production "light" augmentation tier (the flagship
     NNUE config) — distribution-identical to scanned_train_steps(
     strength="light", augment=True); the RNG stream differs (one batched
-    per-dispatch draw instead of per-step key splits)."""
+    per-dispatch draw instead of per-step key splits).
+
+    ``mesh``: a data-parallel `jax.sharding.Mesh` (axis "data"). The
+    Pallas gather kernel is then `shard_map`-ped over the data axis —
+    each chip gathers its batch shard from its local (replicated) copy
+    of the gather dataset, exactly the serving recipe
+    (__graft_entry__.py dryrun) — while the surrounding train step stays
+    GSPMD (grads psum over ICI). Without this, a mesh run would fall
+    back to the unfused path and pay the dispatch floor (VERDICT r4).
+
+    ``identity_augment``: replace the drawn parameters with no-ops (no
+    flip / α=1 / empty hole) so the fused step equals the unfused
+    ``augment=False`` step bit-for-bit — used by the multi-chip dryrun
+    and tests to prove fused/unfused loss equality under a mesh."""
     from nnue_vision_tpu.ops.input_pipeline import (
         draw_light_params,
         fused_light_pipeline,
+        identity_light_params,
     )
 
     steps, _batch = idx_chunk.shape
     n = device_labels.shape[0]
-    params = draw_light_params(key, steps, idx_chunk.shape[1], height, width)
+    if identity_augment:
+        params = identity_light_params(steps, idx_chunk.shape[1])
+    else:
+        params = draw_light_params(
+            key, steps, idx_chunk.shape[1], height, width)
     idx_eff = (idx_chunk + n * params.flip.astype(jnp.int32)).astype(jnp.int32)
     labels_chunk = jnp.take(device_labels, idx_chunk, axis=0)  # (K, B)
+
+    pipeline = functools.partial(
+        fused_light_pipeline, h=height, w=width, tile_b=tile_b,
+        interpret=interpret,
+    )
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        pipeline = jax.shard_map(
+            pipeline, mesh=mesh,
+            in_specs=(P(), P("data"), P("data"), P("data")),
+            out_specs=P("data"),
+            check_vma=False,  # pallas out_shape carries no vma annotation
+        )
 
     def body(carry, inp):
         st = carry
         idx_e, labels, pf, pi = inp
-        x = fused_light_pipeline(
-            gather_dataset, idx_e, pf, pi,
-            h=height, w=width, tile_b=tile_b, interpret=interpret,
-        )
+        x = pipeline(gather_dataset, idx_e, pf, pi)
         st, metrics = train_step(
             st, x, labels,
             model_type=model_type, model_cfg=model_cfg, optimizer=optimizer,

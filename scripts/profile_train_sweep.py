@@ -6,10 +6,17 @@ sweep measures the full scanned training step at growing batch sizes to
 show where the chip saturates — augmentation + optimizer elementwise work
 amortizes, MXU tiles fill, and images/s climbs until HBM bandwidth or
 dispatch overhead flattens it. One JSON line per batch size.
+
+``--fused`` sweeps the fused Pallas input path (the round-4 production
+step) instead of the jnp pipeline — the round-3 sweep that informed the
+batch-512 default was measured UNFUSED (VERDICT r4 item 4), so the
+production-default question must be re-answered on the fused kernel.
+``--spd`` sweeps steps-per-dispatch at each batch size.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
@@ -32,6 +39,7 @@ from nnue_vision_tpu.training.optim import create_optimizer  # noqa: E402
 from nnue_vision_tpu.training.step import (  # noqa: E402
     make_train_state,
     scanned_train_steps,
+    scanned_train_steps_fused,
 )
 
 
@@ -48,7 +56,15 @@ class OptCfg:
 
 
 def main() -> int:
-    batches = [int(b) for b in sys.argv[1:]] or [512, 1024, 2048, 4096]
+    ap = argparse.ArgumentParser()
+    ap.add_argument("batches", nargs="*", type=int,
+                    default=[512, 1024, 2048, 4096])
+    ap.add_argument("--fused", action="store_true",
+                    help="sweep the fused Pallas input path")
+    ap.add_argument("--spd", type=int, nargs="*", default=[64],
+                    help="steps-per-dispatch values to sweep")
+    args = ap.parse_args()
+    batches = args.batches or [512, 1024, 2048, 4096]
     np.asarray(jnp.zeros(()))  # d2h warm
 
     cfg = NNUEConfig(
@@ -61,42 +77,55 @@ def main() -> int:
     device_images = jnp.asarray(
         rng.random((n_data, 32, 32, 3), dtype=np.float32))
     device_labels = jnp.asarray(rng.integers(0, 10, n_data).astype(np.int64))
+    gather_ds = None
+    if args.fused:
+        from nnue_vision_tpu.ops.input_pipeline import prepare_gather_dataset
 
-    spd = 64
-    for batch in batches:
-        optimizer = create_optimizer(OptCfg(), steps_per_epoch=97)
-        state = make_train_state(
-            nnue_init(jax.random.PRNGKey(0), cfg), optimizer)
-        key = jax.random.PRNGKey(1)
+        gather_ds = prepare_gather_dataset(device_images)
 
-        def one_dispatch(state, key, idx_chunk):
-            key, sub = jax.random.split(key)
-            state, metrics = scanned_train_steps(
-                state, device_images, device_labels, idx_chunk, sub,
-                model_type="nnue", model_cfg=cfg, optimizer=optimizer,
-                strength="light", augment=True,
-            )
-            return state, key, metrics
+    for spd in args.spd:
+        for batch in batches:
+            optimizer = create_optimizer(OptCfg(), steps_per_epoch=97)
+            state = make_train_state(
+                nnue_init(jax.random.PRNGKey(0), cfg), optimizer)
+            key = jax.random.PRNGKey(1)
 
-        idx0 = jnp.asarray(rng.integers(0, n_data, (spd, batch)))
-        for _ in range(2):
-            state, key, metrics = one_dispatch(state, key, idx0)
-        np.asarray(metrics["loss"])  # compile + warm readback
+            def one_dispatch(state, key, idx_chunk):
+                key, sub = jax.random.split(key)
+                if args.fused:
+                    state, metrics = scanned_train_steps_fused(
+                        state, gather_ds, device_labels, idx_chunk, sub,
+                        model_type="nnue", model_cfg=cfg,
+                        optimizer=optimizer, height=32, width=32,
+                    )
+                else:
+                    state, metrics = scanned_train_steps(
+                        state, device_images, device_labels, idx_chunk, sub,
+                        model_type="nnue", model_cfg=cfg,
+                        optimizer=optimizer, strength="light", augment=True,
+                    )
+                return state, key, metrics
 
-        dispatches = max(4, (1 << 22) // (spd * batch))  # ~4M images
-        chunks = [jnp.asarray(rng.integers(0, n_data, (spd, batch)))
-                  for _ in range(dispatches)]
-        t0 = time.perf_counter()
-        for idx_chunk in chunks:
-            state, key, metrics = one_dispatch(state, key, idx_chunk)
-        loss = float(np.asarray(metrics["loss"])[-1])  # forces the chain
-        dt = time.perf_counter() - t0
-        ips = dispatches * spd * batch / dt
-        print(json.dumps({
-            "batch": batch, "steps_per_dispatch": spd,
-            "images_per_sec": round(ips), "final_loss": round(loss, 4),
-        }))
-        sys.stdout.flush()
+            idx0 = jnp.asarray(rng.integers(0, n_data, (spd, batch)))
+            for _ in range(2):
+                state, key, metrics = one_dispatch(state, key, idx0)
+            np.asarray(metrics["loss"])  # compile + warm readback
+
+            dispatches = max(4, (1 << 22) // (spd * batch))  # ~4M images
+            chunks = [jnp.asarray(rng.integers(0, n_data, (spd, batch)))
+                      for _ in range(dispatches)]
+            t0 = time.perf_counter()
+            for idx_chunk in chunks:
+                state, key, metrics = one_dispatch(state, key, idx_chunk)
+            loss = float(np.asarray(metrics["loss"])[-1])  # forces the chain
+            dt = time.perf_counter() - t0
+            ips = dispatches * spd * batch / dt
+            print(json.dumps({
+                "fused": bool(args.fused), "batch": batch,
+                "steps_per_dispatch": spd,
+                "images_per_sec": round(ips), "final_loss": round(loss, 4),
+            }))
+            sys.stdout.flush()
     return 0
 
 

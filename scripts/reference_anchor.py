@@ -146,6 +146,43 @@ def stage_reference(workdir: Path) -> None:
     print(f"staged reference -> {workdir}")
 
 
+# The reference's EtinyNet compiled-eval path is broken AS SHIPPED: the
+# target-collection loop in evaluate.py's etinynet branch is nested
+# inside the per-image loop (reference evaluate.py:328-333), so a batch
+# of N images appends N×N targets against N outputs and
+# sklearn raises "inconsistent numbers of samples" — train.py's
+# unconditional engine precompile probe (train.py:216-219, batch 2 ×
+# 4 samples → 8 targets / 4 outputs) therefore crashes EVERY etinynet
+# training run before the first step. (The NNUE branch had the same bug
+# and was fixed upstream — evaluate.py:337-339's comment documents it —
+# but the etinynet branch kept the nested copy.) The anchor dedents that
+# one block by four spaces so the loop runs once per batch, exactly the
+# NNUE branch's fixed semantics; everything else runs verbatim.
+_ETINY_EVAL_BUG = """\
+                    # Add targets for the samples we processed
+                    for i in range(processed_samples):
+                        target = labels[i]
+                        if target.dim() == 0:
+                            target = target.unsqueeze(0)
+                        all_targets.append(target)
+"""
+
+
+def patch_etiny_eval_bug(workdir: Path) -> None:
+    path = workdir / "evaluate.py"
+    src = path.read_text()
+    if _ETINY_EVAL_BUG not in src:
+        raise RuntimeError(
+            "upstream etinynet duplicate-target block not found — "
+            "reference layout changed; re-derive the patch")
+    fixed = "\n".join(
+        line[4:] if line.strip() else line
+        for line in _ETINY_EVAL_BUG.split("\n"))
+    path.write_text(src.replace(_ETINY_EVAL_BUG, fixed))
+    print("patched staged evaluate.py: dedented the etinynet "
+          "duplicate-target block (upstream bug — see PARITY.md)")
+
+
 # --------------------------------------------------------------------- #
 # 3. dependency stand-ins
 # --------------------------------------------------------------------- #
@@ -404,8 +441,8 @@ torch.manual_seed({seed})
 from config import load_config
 import train as ref_train
 
-cfg = load_config("config/train_nnue_anchor.py")
-rc = ref_train.train_model(cfg, "nnue")
+cfg = load_config("config/train_anchor.py")
+rc = ref_train.train_model(cfg, "{model}")
 print(f"anchor train_model rc={{rc}}")
 
 # summarize: best/final epochs from the metrics stream
@@ -469,6 +506,51 @@ project_name = "nnue_anchor"
 '''
 
 
+ETINY_ANCHOR_CONFIG = '''\
+"""Anchor config: the reference's own EtinyNet at small scale (VERDICT r4
+item 2 — a cell where the reference demonstrably learns, validating the
+albumentations/torchvision stand-ins in the succeeding direction).
+Model/optimizer values from upstream config/train_etinynet.py with the
+batch size and lr scaled to the anchor budget; light augmentation because
+that is the tier the stand-ins implement (and both frameworks use it)."""
+
+name = "etinynet_anchor"
+
+dataset_name = "cifar10"  # the exported synthetic-hard batches
+batch_size = {batch}
+num_workers = 0
+num_classes = 10
+subset = 1.0
+
+etinynet_variant = "{variant}"
+use_asq = False
+asq_bits = 4
+input_size = 32
+
+learning_rate = {lr}
+weight_decay = 2e-4
+momentum = 0.9
+optimizer_type = "{optimizer}"
+max_epochs = {epochs}
+max_grad_norm = 1.0
+use_cosine_scheduler = True  # inert upstream (get_lr never called)
+
+decay_lr = True
+use_cyclical_lr = False
+cyclical_lr_period = 1000
+cyclical_lr_amplitude = 0.1
+
+use_augmentation = True
+augmentation_strength = "light"
+
+deterministic = False
+seed = {seed}
+keep_alive = True
+log_dir = "logs"
+project_name = "etinynet_anchor"
+'''
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/ref_anchor")
@@ -486,12 +568,26 @@ def main() -> int:
     ap.add_argument("--optimizer", choices=["sgd", "adam"], default="sgd")
     ap.add_argument("--lr", type=float, default=None,
                     help="learning rate (default: 0.01 for sgd — the "
-                         "reference production value — 1e-3 for adam)")
+                         "reference production value — 1e-3 for adam; "
+                         "0.1 for the etinynet cell)")
+    # The third suggested learning regime: the reference's own EtinyNet
+    # (a standard BN convnet, far more trainable than the STE-quantized
+    # NNUE) at small scale. Model values from upstream
+    # config/train_etinynet.py; runs train_model(cfg, "etinynet")
+    # verbatim, including its per-epoch compiled .etiny engine eval.
+    ap.add_argument("--model", choices=["nnue", "etinynet"], default="nnue")
+    ap.add_argument("--variant", default="0.75",
+                    help="etinynet variant for --model etinynet")
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="default: 512 (nnue production) / 256 (etinynet "
+                         "anchor scale)")
     ap.add_argument("--prepare-only", action="store_true")
     args = ap.parse_args()
 
     workdir = Path(args.workdir)
     stage_reference(workdir)
+    if args.model == "etinynet":
+        patch_etiny_eval_bug(workdir)
     export_fake_cifar(workdir / "data" / "raw", args.train_size,
                       args.test_size, args.seed)
 
@@ -505,13 +601,23 @@ def main() -> int:
     (tv / "__init__.py").write_text(TORCHVISION_INIT_STUB)
     (tv / "datasets.py").write_text(TORCHVISION_DATASETS_STUB)
     (workdir / "nnue_runpod_service.py").write_text(RUNPOD_STUB)
-    lr = args.lr if args.lr is not None else (
-        0.01 if args.optimizer == "sgd" else 1e-3)
-    (workdir / "config" / "train_nnue_anchor.py").write_text(
-        ANCHOR_CONFIG.format(epochs=args.epochs, seed=args.seed,
-                             lr=lr, optimizer=args.optimizer))
+    if args.model == "etinynet":
+        lr = args.lr if args.lr is not None else 0.1
+        batch = args.batch_size or 256
+        cfg_text = ETINY_ANCHOR_CONFIG.format(
+            epochs=args.epochs, seed=args.seed, lr=lr,
+            optimizer=args.optimizer, variant=args.variant, batch=batch)
+    else:
+        lr = args.lr if args.lr is not None else (
+            0.01 if args.optimizer == "sgd" else 1e-3)
+        batch = args.batch_size or 512
+        cfg_text = ANCHOR_CONFIG.format(
+            epochs=args.epochs, seed=args.seed, lr=lr,
+            optimizer=args.optimizer).replace(
+                "batch_size = 512", f"batch_size = {batch}")
+    (workdir / "config" / "train_anchor.py").write_text(cfg_text)
     (workdir / "run_anchor_train.py").write_text(
-        RUNNER.format(seed=args.seed))
+        RUNNER.format(seed=args.seed, model=args.model))
     print("staged stubs + config + runner")
 
     if args.prepare_only:

