@@ -77,11 +77,16 @@ def measure(strength, augment, batch=1024, spd=16, dispatches=10):
 
 
 def main():
+    import sys as _sys
+
+    spds = [int(s) for s in _sys.argv[1:]] or [16]
     np.asarray(jnp.zeros(()))
-    measure("heavy", False)
-    measure("light", True)
-    measure("medium", True)
-    measure("heavy", True)
+    for spd in spds:
+        print(f"steps_per_dispatch={spd}")
+        measure("heavy", False, spd=spd)
+        measure("light", True, spd=spd)
+        measure("medium", True, spd=spd)
+        measure("heavy", True, spd=spd)
 
 
 if __name__ == "__main__":

@@ -63,6 +63,9 @@ def main() -> int:
                     help="sweep the fused Pallas input path")
     ap.add_argument("--spd", type=int, nargs="*", default=[64],
                     help="steps-per-dispatch values to sweep")
+    ap.add_argument("--strength", default="light",
+                    help="augmentation tier for the unfused path "
+                         "(the fused kernel implements the light tier)")
     args = ap.parse_args()
     batches = args.batches or [512, 1024, 2048, 4096]
     np.asarray(jnp.zeros(()))  # d2h warm
@@ -102,7 +105,8 @@ def main() -> int:
                     state, metrics = scanned_train_steps(
                         state, device_images, device_labels, idx_chunk, sub,
                         model_type="nnue", model_cfg=cfg,
-                        optimizer=optimizer, strength="light", augment=True,
+                        optimizer=optimizer, strength=args.strength,
+                        augment=True,
                     )
                 return state, key, metrics
 
@@ -122,7 +126,7 @@ def main() -> int:
             ips = dispatches * spd * batch / dt
             print(json.dumps({
                 "fused": bool(args.fused), "batch": batch,
-                "steps_per_dispatch": spd,
+                "steps_per_dispatch": spd, "strength": args.strength,
                 "images_per_sec": round(ips), "final_loss": round(loss, 4),
             }))
             sys.stdout.flush()
