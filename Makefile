@@ -1,6 +1,7 @@
 # Convenience entry points. Everything here is also runnable directly.
 
 .PHONY: test test-fast test-comprehensive bench real-data-eval engine \
+	anchor-etinynet anchor-nnue \
 	engine-speed
 
 test:
@@ -37,3 +38,26 @@ engine-speed:
 # NV_EVAL_EPOCHS=<n> shortens the schedules for a smoke drill.
 real-data-eval:
 	python scripts/real_data_eval.py
+
+# Cross-framework accuracy anchor, EtinyNet cell (PARITY.md): the
+# reference's own EtinyNet trainer (one documented crash-bug dedent) vs
+# our framework on the identical 5k-sample synthetic-hard task at the
+# identical 60-epoch budget. The reference side is CPU torch (~20 min);
+# ours runs on the TPU (~2 min). SEED=43 etc. varies the matched pair.
+SEED ?= 42
+anchor-etinynet:
+	python scripts/reference_anchor.py --workdir /tmp/ref_anchor_etiny_$(SEED) \
+		--model etinynet --epochs 60 --train-size 5000 --test-size 500 \
+		--seed $(SEED)
+	python train.py etinynet --config config/train_etinynet_anchor_budget.py \
+		--seed $(SEED)
+
+# NNUE cell (the round-4 headline anchor): reference production
+# hyperparameters on both sides. The reference flatlines at chance on
+# this task (SGD and Adam); the EtinyNet cell above is the one where it
+# demonstrably learns, validating the shared dependency stand-ins.
+anchor-nnue:
+	python scripts/reference_anchor.py --workdir /tmp/ref_anchor_$(SEED) \
+		--epochs 30 --test-size 1000 --seed $(SEED)
+	python train.py nnue --config config/train_nnue_anchor_budget.py \
+		--seed $(SEED)

@@ -28,6 +28,8 @@ SUITES = [
     ("pallas kernels", ["tests/test_pallas_kernels.py",
                         "tests/test_etiny_pallas.py"]),
     ("input pipeline", ["tests/test_input_pipeline.py"]),
+    ("warp kernel", ["tests/test_warp_kernel.py"]),
+    ("reference anchor staging", ["tests/test_reference_anchor.py"]),
     ("evaluation", ["tests/test_evaluate.py"]),
     ("benchmarks", ["tests/test_benchmarks.py",
                     "tests/test_benchmarks_spec.py"]),
