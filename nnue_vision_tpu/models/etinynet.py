@@ -225,10 +225,16 @@ def etinynet_init(rng: jax.Array, cfg: EtinyNetConfig) -> Tuple[Dict, Dict]:
 
 
 def _batch_norm(x, p, s, train: bool):
-    """Standard BN over NHWC; returns (y, new_state)."""
+    """Standard BN over NHWC; returns (y, new_state).
+
+    Statistics and the affine always run in float32 — params/state are
+    f32, and bf16 batch moments would drift the running stats — but the
+    output is cast back to x.dtype so a bfloat16 activation flow stays
+    bfloat16 into the next conv (a no-op in the default f32 mode)."""
+    xf = x.astype(jnp.float32)
     if train:
-        mean = x.mean(axis=(0, 1, 2))
-        var = x.var(axis=(0, 1, 2))
+        mean = xf.mean(axis=(0, 1, 2))
+        var = xf.var(axis=(0, 1, 2))
         new_s = {
             "mean": BN_MOMENTUM * s["mean"] + (1 - BN_MOMENTUM) * mean,
             "var": BN_MOMENTUM * s["var"] + (1 - BN_MOMENTUM) * var,
@@ -237,8 +243,8 @@ def _batch_norm(x, p, s, train: bool):
         mean, var = s["mean"], s["var"]
         new_s = s
     inv = jax.lax.rsqrt(var + BN_EPS)
-    y = (x - mean) * (inv * p["scale"]) + p["bias"]
-    return y, new_s
+    y = (xf - mean) * (inv * p["scale"]) + p["bias"]
+    return y.astype(x.dtype), new_s
 
 
 def _rms_norm(x, p, s, train: bool):
@@ -249,8 +255,9 @@ def _rms_norm(x, p, s, train: bool):
     `.etiny` format has no bias slot. Reuses the BN state layout with
     mean-square stored in "var" and "mean" kept at zero.
     """
+    xf = x.astype(jnp.float32)
     if train:
-        ms = (x * x).mean(axis=(0, 1, 2))
+        ms = (xf * xf).mean(axis=(0, 1, 2))
         new_s = {
             "mean": s["mean"],
             "var": BN_MOMENTUM * s["var"] + (1 - BN_MOMENTUM) * ms,
@@ -258,8 +265,8 @@ def _rms_norm(x, p, s, train: bool):
     else:
         ms = s["var"]
         new_s = s
-    y = x * (p["scale"] * jax.lax.rsqrt(ms + BN_EPS))
-    return y, new_s
+    y = xf * (p["scale"] * jax.lax.rsqrt(ms + BN_EPS))
+    return y.astype(x.dtype), new_s
 
 
 def _ste(x, quantized):

@@ -83,6 +83,7 @@ def build_model(config: Any, model_type: str, rng: jax.Array):
             use_asq=getattr(config, "use_asq", False),
             asq_bits=getattr(config, "asq_bits", 4),
             engine_friendly=getattr(config, "engine_friendly", False),
+            dtype=getattr(config, "dtype", "float32"),
         )
         params, stats = etinynet_init(rng, model_cfg)
         return params, stats, model_cfg

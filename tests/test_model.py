@@ -198,6 +198,42 @@ def test_etinynet_forward_and_bn_state(rng):
     )
 
 
+def test_etinynet_bfloat16_compute(rng):
+    """Mixed precision: dtype="bfloat16" must flow through every block
+    (round 5 — the BN affine used to promote activations back to f32,
+    crashing the next conv with mixed dtypes), produce float32 logits,
+    finite f32 gradients for the f32 master params, and f32 running
+    statistics; f32 mode must be unaffected (exact same graph)."""
+    cfg = EtinyNetConfig(variant="micro", num_classes=10, input_size=32,
+                         dtype="bfloat16")
+    params, stats = etinynet_init(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+
+    def loss_fn(p):
+        logits, new_stats = etinynet_apply(p, stats, x, cfg, train=True)
+        assert logits.dtype == jnp.float32
+        return (logits ** 2).mean(), new_stats
+
+    (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    for g, p in zip(jax.tree_util.tree_leaves(grads),
+                    jax.tree_util.tree_leaves(params)):
+        assert g.dtype == p.dtype == jnp.float32
+        assert bool(jnp.all(jnp.isfinite(g)))
+    assert new_stats["stem_bn"]["mean"].dtype == jnp.float32
+
+    # f32 mode is bit-identical to a config that never heard of dtype
+    cfg32 = EtinyNetConfig(variant="micro", num_classes=10, input_size=32)
+    l32, _ = etinynet_apply(params, stats, x, cfg32, train=False)
+    lde, _ = etinynet_apply(
+        params, stats, x,
+        EtinyNetConfig(variant="micro", num_classes=10, input_size=32,
+                       dtype="float32"),
+        train=False,
+    )
+    np.testing.assert_array_equal(np.asarray(l32), np.asarray(lde))
+
+
 def test_model_facade(rng):
     model = NNUEModel(feature_set=GridFeatureSet(4, 4), l1_size=16, l2_size=8,
                       l3_size=4, num_classes=3, input_size=16)
