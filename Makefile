@@ -52,6 +52,12 @@ anchor-etinynet:
 	python train.py etinynet --config config/train_etinynet_anchor_budget.py \
 		--seed $(SEED)
 
+# bfloat16 mixed-precision validation on the same cell (PARITY.md round 5):
+# ours only — compares against the f32 rows the target above produces.
+anchor-etinynet-bf16:
+	python train.py etinynet --config config/train_etinynet_anchor_bf16.py \
+		--seed $(SEED)
+
 # NNUE cell (the round-4 headline anchor): reference production
 # hyperparameters on both sides. The reference flatlines at chance on
 # this task (SGD and Adam); the EtinyNet cell above is the one where it
