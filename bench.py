@@ -458,62 +458,79 @@ def main() -> None:
     # 0.98M variant at the reference's batch 1024 (config/train_etinynet.py
     # upstream), full step = on-device augmentation + fwd + bwd + BN-stat
     # update + SGD, scanned K steps per dispatch like the NNUE headline.
+    # The headline dtype is bfloat16 — the TPU production mode (params,
+    # norm stats, and the loss stay f32; accuracy validated on the anchor
+    # cell, PARITY.md round 5); the f32 number is kept as a second extra.
     etiny_train_ips = 0.0
     etiny_train_mfu = 0.0
+    etiny_train_f32_ips = 0.0
     try:
         from nnue_vision_tpu.models.etinynet import (
             EtinyNetConfig,
             etinynet_init,
         )
-
-        et_cfg = EtinyNetConfig(
-            variant="0.98M", num_classes=10, input_size=32
-        )
-        et_params, et_stats = etinynet_init(jax.random.PRNGKey(3), et_cfg)
-        et_state = make_train_state(et_params, optimizer, et_stats)
-        et_batch = 1024
-        et_spd = 16
-        et_key = jax.random.PRNGKey(4)
-
-        def etiny_dispatch(st, k, idx_chunk):
-            k, sub = jax.random.split(k)
-            st, m = scanned_train_steps(
-                st, device_images, device_labels, idx_chunk, sub,
-                model_type="etinynet", model_cfg=et_cfg, optimizer=optimizer,
-                strength="heavy", augment=True,
-            )
-            return st, k, m
-
-        et_idx0 = jnp.asarray(rng.integers(0, n_data, (et_spd, et_batch)))
-        for _ in range(2):
-            et_state, et_key, et_metrics = etiny_dispatch(
-                et_state, et_key, et_idx0
-            )
-        np.asarray(et_metrics["loss"])  # warm-up readback
-
-        et_dispatches = 10
-        et_chunks = [
-            jnp.asarray(rng.integers(0, n_data, (et_spd, et_batch)))
-            for _ in range(et_dispatches)
-        ]
-        t0 = time.perf_counter()
-        for c in et_chunks:
-            et_state, et_key, et_metrics = etiny_dispatch(et_state, et_key, c)
-        et_loss = float(np.asarray(et_metrics["loss"])[-1])
-        et_dt = time.perf_counter() - t0
-        assert np.isfinite(et_loss), f"non-finite etinynet loss {et_loss}"
-        etiny_train_ips = et_dispatches * et_spd * et_batch / et_dt
-
         from nnue_vision_tpu.models.api import EtinyNet as EtinyNetFacade
 
         et_fwd_flops = float(
             EtinyNetFacade(variant="0.98M", num_classes=10,
                            input_size=32).count_flops()
         )
+        et_batch = 1024
+        et_spd = 16
+
+        def etiny_train_ips_for(dtype: str) -> float:
+            et_cfg = EtinyNetConfig(
+                variant="0.98M", num_classes=10, input_size=32, dtype=dtype
+            )
+            et_params, et_stats = etinynet_init(jax.random.PRNGKey(3), et_cfg)
+            et_state = make_train_state(et_params, optimizer, et_stats)
+            et_key = jax.random.PRNGKey(4)
+
+            def etiny_dispatch(st, k, idx_chunk):
+                k, sub = jax.random.split(k)
+                st, m = scanned_train_steps(
+                    st, device_images, device_labels, idx_chunk, sub,
+                    model_type="etinynet", model_cfg=et_cfg,
+                    optimizer=optimizer, strength="heavy", augment=True,
+                )
+                return st, k, m
+
+            et_idx0 = jnp.asarray(
+                rng.integers(0, n_data, (et_spd, et_batch))
+            )
+            for _ in range(2):
+                et_state, et_key, et_metrics = etiny_dispatch(
+                    et_state, et_key, et_idx0
+                )
+            np.asarray(et_metrics["loss"])  # warm-up readback
+
+            et_dispatches = 10
+            et_chunks = [
+                jnp.asarray(rng.integers(0, n_data, (et_spd, et_batch)))
+                for _ in range(et_dispatches)
+            ]
+            t0 = time.perf_counter()
+            for c in et_chunks:
+                et_state, et_key, et_metrics = etiny_dispatch(
+                    et_state, et_key, c
+                )
+            et_loss = float(np.asarray(et_metrics["loss"])[-1])
+            et_dt = time.perf_counter() - t0
+            assert np.isfinite(et_loss), (
+                f"non-finite etinynet loss ({dtype}) {et_loss}"
+            )
+            ips = et_dispatches * et_spd * et_batch / et_dt
+            assert ips * 3.0 * et_fwd_flops / peak < 1.0, (
+                f"impossible etinynet train MFU ({dtype})"
+            )
+            return ips
+
+        etiny_train_ips = etiny_train_ips_for("bfloat16")
         etiny_train_mfu = etiny_train_ips * 3.0 * et_fwd_flops / peak
-        assert etiny_train_mfu < 1.0, (
-            f"impossible: etinynet train MFU {etiny_train_mfu:.3f} ≥ 1"
-        )
+        try:
+            etiny_train_f32_ips = etiny_train_ips_for("float32")
+        except Exception as e:
+            print(f"# etiny f32 train bench unavailable: {e}", flush=True)
     except Exception as e:
         print(f"# etiny train bench unavailable: {e}", flush=True)
 
@@ -546,6 +563,10 @@ def main() -> None:
             "int8_etinynet_micro_images_per_sec": round(etiny_ips, 1),
             "etinynet_train_images_per_sec": round(etiny_train_ips, 1),
             "etinynet_train_mfu": round(etiny_train_mfu, 5),
+            "etinynet_train_dtype": "bfloat16 compute, f32 params/stats",
+            "etinynet_train_f32_images_per_sec": round(
+                etiny_train_f32_ips, 1
+            ),
             "int8_infer_ms_per_image": round(1000.0 / infer_ips, 5),
             "int8_vs_reference_engine_claim": round(
                 (1000.0 / infer_ips) / REF_INT8_MS_PER_IMAGE, 6
