@@ -10,6 +10,12 @@ name = "etinynet_cifar10"
 etinynet_variant = "0.98M"
 use_asq = False
 asq_bits = 4
+# TPU production mode: bf16 convs/matmuls/activations, f32 params +
+# norm statistics + loss (ARCHITECTURE item 15). Accuracy-validated on
+# the anchor cell (PARITY.md round 5: 0.980 == the f32 row); measured
+# 235k -> 261k img/s on this config's step (TRAIN_ROOFLINE round 5).
+# Set to "float32" to reproduce the strict-f32 numbers.
+dtype = "bfloat16"
 
 # data
 dataset_name = "cifar10"
