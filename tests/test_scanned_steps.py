@@ -69,3 +69,35 @@ def test_scan_equals_sequential(rng):
         rtol=1e-5, atol=1e-7,
     )
     assert int(state_a.step) == k_steps
+
+
+def test_scanned_steps_etinynet_bf16(rng):
+    """The production EtinyNet mode (dtype="bfloat16",
+    config/train_etinynet.py since round 5) must train through the
+    scanned dispatch path: finite decreasing-ish loss, f32 master
+    params, f32 running statistics, step count advanced."""
+    from nnue_vision_tpu.models.etinynet import EtinyNetConfig, etinynet_init
+
+    e_cfg = EtinyNetConfig(variant="micro", num_classes=3, input_size=16,
+                           dtype="bfloat16")
+    optimizer = create_optimizer(OptCfg(), steps_per_epoch=4)
+    params, stats = etinynet_init(jax.random.PRNGKey(0), e_cfg)
+    state = make_train_state(params, optimizer, stats)
+
+    n = 64
+    device_images = jnp.asarray(rng.random((n, 16, 16, 3), dtype=np.float32))
+    device_labels = jnp.asarray(rng.integers(0, 3, n).astype(np.int64))
+    k_steps, batch = 3, 8
+    idx_chunk = jnp.asarray(rng.integers(0, n, (k_steps, batch)))
+
+    state, metrics = scanned_train_steps(
+        state, device_images, device_labels, idx_chunk, jax.random.PRNGKey(7),
+        model_type="etinynet", model_cfg=e_cfg, optimizer=optimizer,
+        strength="heavy", augment=True,
+    )
+    losses = np.asarray(metrics["loss"])
+    assert losses.shape == (k_steps,) and np.all(np.isfinite(losses))
+    assert int(state.step) == k_steps
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert leaf.dtype == jnp.float32
+    assert state.batch_stats["stem_bn"]["mean"].dtype == jnp.float32
