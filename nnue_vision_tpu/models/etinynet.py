@@ -110,6 +110,24 @@ class EtinyNetConfig:
     # paths have no engine representation); warming up here does not.
     ef_quantizers: bool = True
 
+    def __post_init__(self):
+        if (self.engine_friendly and self.ef_quantizers
+                and self.dtype != "float32"):
+            # The deployed-exactness contract (training on the serializer's
+            # exact int8 grids, _wq_folded/_q_act_lsq) is specified in f32
+            # rounding; bf16 compute would train on a subtly different grid
+            # than serialize.py writes. Loud warning, not an error — the
+            # shipped configs never combine these.
+            import warnings
+
+            warnings.warn(
+                "engine_friendly QAT with dtype="
+                f"{self.dtype!r}: the quantizer grids are defined in "
+                "float32 — deployed bit-exactness is only validated for "
+                "dtype='float32'",
+                stacklevel=2,
+            )
+
     @property
     def table(self) -> dict:
         if self.variant not in ETINYNET_VARIANTS:
