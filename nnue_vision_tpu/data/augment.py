@@ -257,6 +257,116 @@ def _warp_pallas_ok(h: int, w: int, c: int) -> bool:
     return h == w and w * c <= 128 and h % 8 == 0
 
 
+# Which photometric realization the medium/heavy tiers use. "auto"
+# resolves at trace time: the fused Pallas kernel
+# (ops/photometric_kernel.py — the whole gated photometric chain in ONE
+# kernel, 3 HBM passes instead of ~32) on TPU when the shape qualifies,
+# else the unfused jnp chain. All randomness is drawn OUTSIDE the kernel
+# by the same _draw helpers the unfused ops use, so both paths sample the
+# identical augmentation distribution (tests/test_photometric_kernel.py).
+_PHOTO_IMPL = "auto"
+
+
+def set_photometric_impl(impl: str) -> None:
+    """Pin the photometric realization: "auto" | "pallas" | "xla".
+
+    Clears the jit cache — callers of augment_batch bake the choice into
+    their traces at trace time."""
+    global _PHOTO_IMPL
+    if impl not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown photometric impl: {impl}")
+    _PHOTO_IMPL = impl
+    jax.clear_caches()
+
+
+def _photo_use_pallas(h: int, w: int, c: int) -> bool:
+    from nnue_vision_tpu.ops.photometric_kernel import photometric_ok
+
+    if _PHOTO_IMPL == "xla" or not photometric_ok(h, w, c):
+        return False
+    if _PHOTO_IMPL == "pallas":
+        return True
+    return jax.devices()[0].platform == "tpu"
+
+
+def _photometric_medium_fused(ks, x):
+    """The medium photometric block (brightness/contrast → HSV → blur →
+    noise → cutout → HSV → shadow → fog → posterize → equalize) as ONE
+    Pallas kernel. Parameter draws are the same _draw calls (same keys,
+    same shapes) as the unfused chain below — identical distribution."""
+    from nnue_vision_tpu.ops.photometric_kernel import photometric_block
+
+    b, h, w, _ = x.shape
+    bc_a, bright, contr = _bc_draw(ks[4], b, 0.3, 0.2)
+    h1_a, hue1, sat1, val1 = _hsv_draw(ks[5], b, 0.3, 10 / 255.0, 0.15, 10 / 255.0)
+    bl_a = _bernoulli(ks[6], 0.2, b)
+    nz_a, sigma, noise = _noise_draw(ks[7], b, x.shape, 0.2, (0.01, 0.05))
+    ct_a, y0, hh, x0, ww = _cutout_draw(ks[8], b, h, w, 0.3, (0.05, 0.15))
+    h2_a, hue2, sat2, val2 = _hsv_draw(ks[9], b, 0.2, 8 / 255.0, 0.1, 8 / 255.0)
+    sh_a, theta, offset, dark = _shadow_draw(ks[20], b, 0.1)
+    fg_a, amount = _fog_draw(ks[21], b, 0.1)
+    po_a = _bernoulli(ks[22], 0.1, b)
+    eq_a = _bernoulli(ks[23], 0.1, b)
+
+    def f(v):
+        return v.reshape(b).astype(jnp.float32)
+
+    fparams = jnp.stack(
+        [
+            f(bc_a), f(bright), f(contr),
+            f(h1_a), f(hue1), f(sat1), f(val1),
+            f(bl_a),
+            f(nz_a), f(sigma),
+            f(ct_a),
+            f(h2_a), f(hue2), f(sat2), f(val2),
+            f(sh_a), f(jnp.cos(theta)), f(jnp.sin(theta)), f(offset), f(dark),
+            f(fg_a), f(amount),
+            f(po_a), f(eq_a),
+        ],
+        axis=1,
+    )
+    iparams = jnp.stack([y0, hh, x0, ww], axis=1).astype(jnp.int32)
+    return photometric_block(
+        x, noise, fparams, iparams, variant="medium",
+        interpret=jax.devices()[0].platform != "tpu",
+    )
+
+
+def _photometric_heavy_fused(ks, x):
+    """The heavy-extra photometric block as ONE Pallas kernel (same
+    contract as _photometric_medium_fused)."""
+    from nnue_vision_tpu.ops.photometric_kernel import photometric_block
+
+    b, h, w, _ = x.shape
+    bc_a, bright, contr = _bc_draw(ks[14], b, 0.2, 0.3)
+    hv_a, hue, sat, val = _hsv_draw(ks[15], b, 0.2, 15 / 255.0, 0.2, 15 / 255.0)
+    bl_a = _bernoulli(ks[16], 0.2, b)
+    nz_a, sigma, noise = _noise_draw(ks[17], b, x.shape, 0.2, (0.05, 0.1))
+    c1_a, y0a, hha, x0a, wwa = _cutout_draw(ks[18], b, h, w, 0.2, (0.1, 0.25))
+    c2_a, y0b, hhb, x0b, wwb = _cutout_draw(ks[19], b, h, w, 0.2, (0.1, 0.25))
+
+    def f(v):
+        return v.reshape(b).astype(jnp.float32)
+
+    fparams = jnp.stack(
+        [
+            f(bc_a), f(bright), f(contr),
+            f(hv_a), f(hue), f(sat), f(val),
+            f(bl_a),
+            f(nz_a), f(sigma),
+            f(c1_a), f(c2_a),
+        ],
+        axis=1,
+    )
+    iparams = jnp.stack(
+        [y0a, hha, x0a, wwa, y0b, hhb, x0b, wwb], axis=1
+    ).astype(jnp.int32)
+    return photometric_block(
+        x, noise, fparams, iparams, variant="heavy_extra",
+        interpret=jax.devices()[0].platform != "tpu",
+    )
+
+
 def _warp(x, mv):
     """Apply one composed inverse map (M, v) as a two-pass resample
     (Catmull & Smith 1980): one horizontal linear pass, one vertical —
@@ -354,31 +464,51 @@ def _affine(key, x, p, max_deg, max_translate, scale_range):
     return _warp(x, mv)
 
 
-def _brightness_contrast(key, x, p, limit):
-    b = x.shape[0]
+# Each photometric op is split into a _draw helper (all of its jax.random
+# calls — same keys, same shapes) and the elementwise application. The
+# fused Pallas photometric path (ops/photometric_kernel.py) calls the SAME
+# _draw helpers and ships the results into one kernel, so the sampled
+# augmentation distribution is structurally identical to the unfused
+# chain (the ADVICE-r4 pin; tests/test_photometric_kernel.py).
+
+
+def _bc_draw(key, b, p, limit):
     keys = jax.random.split(key, 3)
     apply = _bernoulli(keys[0], p, b)
     bright = jax.random.uniform(keys[1], (b, 1, 1, 1), minval=-limit, maxval=limit)
     contr = 1.0 + jax.random.uniform(keys[2], (b, 1, 1, 1), minval=-limit, maxval=limit)
+    return apply, bright, contr
+
+
+def _brightness_contrast(key, x, p, limit):
+    apply, bright, contr = _bc_draw(key, x.shape[0], p, limit)
     out = jnp.clip((x - 0.5) * contr + 0.5 + bright, 0.0, 1.0)
     return jnp.where(apply, out, x)
 
 
-def _hsv_shift(key, x, p, hue_lim, sat_lim, val_lim):
-    """Approximate HSV jitter without a full RGB↔HSV round trip: hue via a
-    small channel rotation, saturation via blend with luma, value via gain."""
-    b = x.shape[0]
+def _hsv_draw(key, b, p, hue_lim, sat_lim, val_lim):
     keys = jax.random.split(key, 4)
     apply = _bernoulli(keys[0], p, b)
     hue = jax.random.uniform(keys[1], (b, 1, 1, 1), minval=-hue_lim, maxval=hue_lim)
     sat = 1.0 + jax.random.uniform(keys[2], (b, 1, 1, 1), minval=-sat_lim, maxval=sat_lim)
     val = 1.0 + jax.random.uniform(keys[3], (b, 1, 1, 1), minval=-val_lim, maxval=val_lim)
+    return apply, hue, sat, val
+
+
+def _apply_hsv(x, apply, hue, sat, val):
     luma = (0.299 * x[..., :1] + 0.587 * x[..., 1:2] + 0.114 * x[..., 2:3])
     shifted = jnp.concatenate(
         [x[..., :1] + hue, x[..., 1:2], x[..., 2:3] - hue], axis=-1
     )
     out = jnp.clip((luma + (shifted - luma) * sat) * val, 0.0, 1.0)
     return jnp.where(apply, out, x)
+
+
+def _hsv_shift(key, x, p, hue_lim, sat_lim, val_lim):
+    """Approximate HSV jitter without a full RGB↔HSV round trip: hue via a
+    small channel rotation, saturation via blend with luma, value via gain."""
+    apply, hue, sat, val = _hsv_draw(key, x.shape[0], p, hue_lim, sat_lim, val_lim)
+    return _apply_hsv(x, apply, hue, sat, val)
 
 
 def _blur(key, x, p):
@@ -393,15 +523,19 @@ def _blur(key, x, p):
     return jnp.where(_bernoulli(key, p, b), blurred, x)
 
 
-def _gauss_noise(key, x, p, sigma_range):
-    b = x.shape[0]
+def _noise_draw(key, b, shape, p, sigma_range):
     keys = jax.random.split(key, 3)
     apply = _bernoulli(keys[0], p, b)
     sigma = jax.random.uniform(
         keys[1], (b, 1, 1, 1), minval=sigma_range[0], maxval=sigma_range[1]
     )
-    noise = jax.random.normal(keys[2], x.shape) * sigma
-    return jnp.where(apply, jnp.clip(x + noise, 0.0, 1.0), x)
+    noise = jax.random.normal(keys[2], shape)
+    return apply, sigma, noise
+
+
+def _gauss_noise(key, x, p, sigma_range):
+    apply, sigma, noise = _noise_draw(key, x.shape[0], x.shape, p, sigma_range)
+    return jnp.where(apply, jnp.clip(x + noise * sigma, 0.0, 1.0), x)
 
 
 def _posterize(key, x, p, bits=4):
@@ -422,14 +556,17 @@ def _equalize_approx(key, x, p):
     return jnp.where(_bernoulli(key, p, b), stretched, x)
 
 
-def _shadow(key, x, p):
-    """Random linear half-plane shadow (darken one side by 30-60%)."""
-    b, h, w, _ = x.shape
+def _shadow_draw(key, b, p):
     keys = jax.random.split(key, 4)
     apply = _bernoulli(keys[0], p, b)
     theta = jax.random.uniform(keys[1], (b, 1, 1), maxval=2 * jnp.pi)
     offset = jax.random.uniform(keys[2], (b, 1, 1), minval=-0.3, maxval=0.3)
     dark = jax.random.uniform(keys[3], (b, 1, 1, 1), minval=0.4, maxval=0.7)
+    return apply, theta, offset, dark
+
+
+def _apply_shadow(x, apply, theta, offset, dark):
+    _, h, w, _ = x.shape
     yy = (jnp.arange(h)[None, :, None] / h) - 0.5
     xx = (jnp.arange(w)[None, None, :] / w) - 0.5
     side = (jnp.cos(theta) * xx + jnp.sin(theta) * yy) > offset
@@ -437,19 +574,27 @@ def _shadow(key, x, p):
     return jnp.where(apply, shaded, x)
 
 
-def _fog(key, x, p):
-    """Fog approximation: blend toward white with a random intensity."""
-    b = x.shape[0]
+def _shadow(key, x, p):
+    """Random linear half-plane shadow (darken one side by 30-60%)."""
+    apply, theta, offset, dark = _shadow_draw(key, x.shape[0], p)
+    return _apply_shadow(x, apply, theta, offset, dark)
+
+
+def _fog_draw(key, b, p):
     keys = jax.random.split(key, 2)
     apply = _bernoulli(keys[0], p, b)
     amount = jax.random.uniform(keys[1], (b, 1, 1, 1), minval=0.1, maxval=0.4)
+    return apply, amount
+
+
+def _fog(key, x, p):
+    """Fog approximation: blend toward white with a random intensity."""
+    apply, amount = _fog_draw(key, x.shape[0], p)
     fogged = x * (1.0 - amount) + amount
     return jnp.where(apply, fogged, x)
 
 
-def _cutout(key, x, p, size_range):
-    """One random rectangular hole per sample (CoarseDropout)."""
-    b, h, w, _ = x.shape
+def _cutout_draw(key, b, h, w, p, size_range):
     keys = jax.random.split(key, 4)
     apply = _bernoulli(keys[0], p, b)
     frac = jax.random.uniform(
@@ -459,6 +604,11 @@ def _cutout(key, x, p, size_range):
     ww = jnp.maximum(1, (frac * w).astype(jnp.int32))
     y0 = (jax.random.uniform(keys[2], (b,)) * (h - hh)).astype(jnp.int32)
     x0 = (jax.random.uniform(keys[3], (b,)) * (w - ww)).astype(jnp.int32)
+    return apply, y0, hh, x0, ww
+
+
+def _apply_cutout(x, apply, y0, hh, x0, ww):
+    _, h, w, _ = x.shape
     yy = jnp.arange(h)[None, :, None]
     xx = jnp.arange(w)[None, None, :]
     hole = (
@@ -466,6 +616,13 @@ def _cutout(key, x, p, size_range):
         & (xx >= x0[:, None, None]) & (xx < (x0 + ww)[:, None, None])
     )[..., None]
     return jnp.where(apply & hole, 0.0, x)
+
+
+def _cutout(key, x, p, size_range):
+    """One random rectangular hole per sample (CoarseDropout)."""
+    b, h, w, _ = x.shape
+    apply, y0, hh, x0, ww = _cutout_draw(key, b, h, w, p, size_range)
+    return _apply_cutout(x, apply, y0, hh, x0, ww)
 
 
 @functools.partial(jax.jit, static_argnames=("strength",))
@@ -511,17 +668,21 @@ def augment_batch(
     )  # Affine
     x = _warp(x, mv)
 
-    # -- photometric (elementwise, fused by XLA) ------------------------- #
-    x = _brightness_contrast(ks[4], x, 0.3, 0.2)
-    x = _hsv_shift(ks[5], x, 0.3, 10 / 255.0, 0.15, 10 / 255.0)
-    x = _blur(ks[6], x, 0.2)
-    x = _gauss_noise(ks[7], x, 0.2, (0.01, 0.05))
-    x = _cutout(ks[8], x, 0.3, (0.05, 0.15))
-    x = _hsv_shift(ks[9], x, 0.2, 8 / 255.0, 0.1, 8 / 255.0)    # ColorJitter approx
-    x = _shadow(ks[20], x, 0.1)
-    x = _fog(ks[21], x, 0.1)
-    x = _posterize(ks[22], x, 0.1)
-    x = _equalize_approx(ks[23], x, 0.1)
+    # -- photometric: one fused Pallas kernel on TPU, else the jnp chain - #
+    fused_photo = _photo_use_pallas(h, w, x.shape[3])
+    if fused_photo:
+        x = _photometric_medium_fused(ks, x)
+    else:
+        x = _brightness_contrast(ks[4], x, 0.3, 0.2)
+        x = _hsv_shift(ks[5], x, 0.3, 10 / 255.0, 0.15, 10 / 255.0)
+        x = _blur(ks[6], x, 0.2)
+        x = _gauss_noise(ks[7], x, 0.2, (0.01, 0.05))
+        x = _cutout(ks[8], x, 0.3, (0.05, 0.15))
+        x = _hsv_shift(ks[9], x, 0.2, 8 / 255.0, 0.1, 8 / 255.0)  # ColorJitter approx
+        x = _shadow(ks[20], x, 0.1)
+        x = _fog(ks[21], x, 0.1)
+        x = _posterize(ks[22], x, 0.1)
+        x = _equalize_approx(ks[23], x, 0.1)
 
     if strength == "heavy":
         # the aggressive second pass runs AFTER the medium photometric
@@ -538,12 +699,15 @@ def augment_batch(
             mv2, _geom_affine(ks[13], b, 0.2, 25.0, 0.15, (0.85, 1.15), h, w)
         )
         x = _warp(x, mv2)
-        x = _brightness_contrast(ks[14], x, 0.2, 0.3)
-        x = _hsv_shift(ks[15], x, 0.2, 15 / 255.0, 0.2, 15 / 255.0)
-        x = _blur(ks[16], x, 0.2)
-        x = _gauss_noise(ks[17], x, 0.2, (0.05, 0.1))
-        x = _cutout(ks[18], x, 0.2, (0.1, 0.25))
-        x = _cutout(ks[19], x, 0.2, (0.1, 0.25))
+        if fused_photo:
+            x = _photometric_heavy_fused(ks, x)
+        else:
+            x = _brightness_contrast(ks[14], x, 0.2, 0.3)
+            x = _hsv_shift(ks[15], x, 0.2, 15 / 255.0, 0.2, 15 / 255.0)
+            x = _blur(ks[16], x, 0.2)
+            x = _gauss_noise(ks[17], x, 0.2, (0.05, 0.1))
+            x = _cutout(ks[18], x, 0.2, (0.1, 0.25))
+            x = _cutout(ks[19], x, 0.2, (0.1, 0.25))
     return x
 
 
