@@ -279,6 +279,18 @@ def set_photometric_impl(impl: str) -> None:
     jax.clear_caches()
 
 
+def _to_rbg_key(key: jax.Array) -> jax.Array:
+    """Bridge a threefry key into the TPU hardware-RNG (`rbg`) impl.
+
+    One threefry split expands the 2 uint32 key words into 4; those four
+    words ARE the rbg key. Measured free (0.578 vs 0.583 ms for a native
+    rbg key on the round-5 draw probe). Accepts both raw `(2,) uint32`
+    keys and typed threefry keys."""
+    ks = jax.random.split(key, 2)
+    data = ks if ks.dtype == jnp.uint32 else jax.random.key_data(ks)
+    return jax.random.wrap_key_data(data.reshape(4), impl="rbg")
+
+
 def _photo_use_pallas(h: int, w: int, c: int) -> bool:
     from nnue_vision_tpu.ops.photometric_kernel import photometric_ok
 
@@ -647,15 +659,29 @@ def augment_batch(
     sequential; they fuse."""
     if strength not in STRENGTHS:
         raise ValueError(f"strength must be one of {STRENGTHS}")
-    ks = list(jax.random.split(key, 24))
     x = images
     b, h, w, _ = x.shape
 
     if strength == "light":
+        ks = list(jax.random.split(key, 24))
         x = _hflip(ks[0], x, 0.5)
         x = _brightness_contrast(ks[1], x, 0.2, 0.1)
         x = _cutout(ks[2], x, 0.2, (0.05, 0.051))
         return x
+
+    # The medium/heavy tiers make ~26 random draws (incl. two full-batch
+    # normal noise tensors); under threefry those draws are ~1.2 ms of
+    # the ~1.9 ms heavy-tier step at batch 1024 — more than all the image
+    # arithmetic (docs/TRAIN_ROOFLINE.md round-5 breakdown). Bridge the
+    # key into the TPU hardware RNG (`rbg`, XLA RngBitGenerator): draws
+    # drop 0.83 → 0.58 ms and the bridge itself is free. Trade-off,
+    # documented: rbg streams are not bit-stable across backends or
+    # compiler versions (threefry is), so the medium/heavy realization
+    # is backend-dependent — the distribution is unchanged, parity tests
+    # compare both impls on one backend, and the golden pins cover the
+    # CPU stream. The light tier stays on threefry: the anchor accuracy
+    # cells train with it, and its three draws cost nothing.
+    ks = list(jax.random.split(_to_rbg_key(key), 24))
 
     # -- geometry: compose the medium maps, warp once --------------------- #
     mv = _geom_hflip(ks[0], b, 0.5)
