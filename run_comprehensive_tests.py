@@ -29,6 +29,7 @@ SUITES = [
                         "tests/test_etiny_pallas.py"]),
     ("input pipeline", ["tests/test_input_pipeline.py"]),
     ("warp kernel", ["tests/test_warp_kernel.py"]),
+    ("photometric kernel", ["tests/test_photometric_kernel.py"]),
     ("augmentation goldens", ["tests/test_augment_golden.py"]),
     ("reference anchor staging", ["tests/test_reference_anchor.py"]),
     ("evaluation", ["tests/test_evaluate.py"]),
