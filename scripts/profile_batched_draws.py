@@ -17,12 +17,29 @@ switch already made and documented (data/augment.py). Only shipped if
 the measured win clears ~0.15 ms/step; otherwise recorded as a negative
 result like the scalar-prefetch gather kernel.
 
-MEASURED (v5e, batch 1024, round 5): NEGATIVE for batching — 26
-separate calls 0.641 ms vs fully batched 0.593 ms (−0.048, under the
-ship bar). The draw cost is bits-generation/erfinv-bound (the two
-full-size normals), not per-call overhead — consistent with rbg already
-having removed the threefry keying work. Kept unshipped; the call
-structure in data/augment.py stays op-per-draw (the testable shape).
+MEASURED (v5e, batch 1024, round 5): NEGATIVE on every axis, and the
+floor variant corrects the round-5 accounting —
+
+    current: 26 separate rbg calls   0.609 ms/step
+    batched smalls (3 rbg calls)     0.576
+    fully batched (2 rbg calls)      0.609
+    bf16 normals, smalls as-is       0.654   (WORSE — bf16 erfinv path
+                                              adds conversion, saves no
+                                              vector work)
+    no normals (24 smalls only)      0.535
+
+Removing BOTH full-size normals saves only 0.074 ms and batching the
+smalls 0.033 — so the true device cost of the tier's rbg draws is
+~0.1 ms/step. The remaining ~0.5 ms this harness measures is its OWN
+scaffolding (24 per-draw `.sum()` reduction kernels + the chained
+full-tensor adds), which the earlier draw probes in
+profile_photometric_rng.py share — i.e. the roofline's "~0.58 ms of
+rbg draws" line attributed harness kernels to the RNG. Production
+implication: the augmentation Δ that remains after the fused
+photometric kernel is dominated by the two composed warps (~0.72 ms
+each), not by RNG; no RNG lever worth shipping exists. Kept unshipped;
+the call structure in data/augment.py stays op-per-draw (the testable
+shape).
 
 Usage: python scripts/profile_batched_draws.py  (needs the TPU chip).
 """
